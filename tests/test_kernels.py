@@ -1,0 +1,143 @@
+"""Differential tests: every kernel variant vs the numpy oracle at the
+reference tolerances (rel 1e-2 / abs 1e-3, reference/include/utils.hpp:10-11)
+— tier-1 of the reference's strategy, run per variant like runEngine's loop
+(reference/src/engine/engine.cpp:41-43).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+from tpuspmm.config import Config
+from tpuspmm.formats import CSR, COO, BSR, ELL, convert
+from tpuspmm.engine.registry import get_engine, FORMATS
+from tpuspmm.ops import oracle
+from tpuspmm.utils.compare import allclose
+
+CFG = Config(interpret=True)
+
+
+def _rand(m, k, density, seed=0):
+    rng = np.random.default_rng(seed)
+    return scipy.sparse.random(
+        m, k, density=density, format="csr", random_state=rng,
+        data_rvs=lambda n: rng.uniform(-100, 100, n),
+    )
+
+
+CASES = [
+    # (m, k, n, density) — spanning tile-aligned and ragged shapes
+    (32, 32, 32, 0.1),
+    (100, 130, 48, 0.05),
+    (256, 256, 128, 0.02),
+    (300, 511, 96, 0.15),
+]
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"{c[0]}x{c[1]}x{c[2]}d{c[3]}")
+def test_all_variants_match_oracle(fmt, case):
+    m, k, n, density = case
+    sp = _rand(m, k, density, seed=m + k)
+    a = convert.to_format(sp, fmt)
+    rng = np.random.default_rng(m)
+    b = rng.uniform(-1, 1, (k, n)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+
+    engine = get_engine(fmt)
+    for variant in engine.variants:
+        if variant.admissible is not None and not variant.admissible(a, b, CFG):
+            continue
+        out = np.asarray(variant.fn(a, b, CFG))
+        assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol), (
+            f"{fmt} kernel {variant.number} ({variant.name}) mismatch: "
+            f"maxerr={np.abs(out - ref).max()}"
+        )
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+def test_vendor_matches_oracle(fmt):
+    sp = _rand(90, 120, 0.07, seed=5)
+    a = convert.to_format(sp, fmt)
+    rng = np.random.default_rng(2)
+    b = rng.uniform(-1, 1, (120, 40)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    from tpuspmm.ops import vendor
+
+    out = np.asarray(vendor.spmm_vendor(a, b))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+
+
+def test_bsr_stream_mxu_blocks():
+    """Real MXU-shaped blocks through the block-streaming kernel."""
+    from tpuspmm.kernels.bsr_spmm import spmm_bsr_stream
+
+    a = BSR.random_blocks(128, 512, (8, 128), 0.4, seed=9)
+    rng = np.random.default_rng(3)
+    b = rng.uniform(-1, 1, (512, 200)).astype(np.float32)
+    ref = oracle.spmm_bsr_oracle(a, b)
+    out = np.asarray(spmm_bsr_stream(a, b, interpret=True))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+
+
+def test_bsr_stream_empty_block_rows():
+    """Block rows with zero stored blocks must produce zero output rows."""
+    from tpuspmm.kernels.bsr_spmm import spmm_bsr_stream
+
+    a = BSR.random_blocks(256, 256, (8, 128), 0.15, seed=11)
+    counts = np.diff(a.indptr)
+    assert (counts == 0).any(), "fixture should include an empty block row"
+    rng = np.random.default_rng(4)
+    b = rng.uniform(-1, 1, (256, 128)).astype(np.float32)
+    ref = oracle.spmm_bsr_oracle(a, b)
+    out = np.asarray(spmm_bsr_stream(a, b, interpret=True))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+
+
+def test_tile_kernel_empty_rows_zero_filled():
+    """Row tiles without nonzeros must come back zero, not garbage."""
+    from tpuspmm.kernels.tile_spmm import spmm_tile_sparse
+
+    dense = np.zeros((300, 200), dtype=np.float32)
+    dense[5, 7] = 2.0  # single nnz → most row tiles empty
+    a = CSR.from_dense(dense)
+    rng = np.random.default_rng(5)
+    b = rng.uniform(-1, 1, (200, 64)).astype(np.float32)
+    out = np.asarray(spmm_tile_sparse(a, b, interpret=True))
+    ref = dense @ b
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+    assert np.all(out[6:] == 0)
+
+
+def test_coo_duplicates_through_kernels():
+    """Duplicate coordinates accumulate through every COO path."""
+    a = COO(
+        rows=np.array([0, 0, 3], dtype=np.int32),
+        cols=np.array([2, 2, 1], dtype=np.int32),
+        values=np.array([1.5, 2.5, -1.0], dtype=np.float32),
+        shape=(8, 8),
+    ).sort_by_row()
+    b = np.eye(8, dtype=np.float32)
+    ref = oracle.spmm_coo_oracle(a, b)
+    assert ref[0, 2] == 4.0
+    engine = get_engine("coo")
+    for variant in engine.variants:
+        out = np.asarray(variant.fn(a, b, CFG))
+        assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol), variant.name
+
+
+def test_spmv_and_transpose():
+    from tpuspmm.ops.api import spmv, spmm_transpose
+
+    sp = _rand(60, 80, 0.1, seed=21)
+    a = CSR.from_scipy(sp)
+    rng = np.random.default_rng(6)
+    x = rng.uniform(-1, 1, 80).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(spmv(a, x, method="xla")), sp.toarray() @ x, rtol=1e-4, atol=1e-4
+    )
+    g = rng.uniform(-1, 1, (60, 16)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(spmm_transpose(a, g, method="xla")), sp.toarray().T @ g,
+        rtol=1e-3, atol=1e-3,
+    )

@@ -1,0 +1,121 @@
+"""tpuspmm command-line driver.
+
+Counterpart of the reference CLI (reference/src/main.cu:19-217): per-format
+flags, a data-directory argument with the same file-discovery contract
+(main.cu:98-144), and one JSON record per run on stdout.  Additions over the
+reference: direct `.mtx` loading (no offline conversion required), `--auto`
+format selection, `--width` to synthesise a dense operand when the data dir
+lacks one (the reference's missing-blob dirs), and `--out` to append records
+to a file like the test sweeps do via shell redirection
+(reference/test/csr.sh:3-14).
+
+Usage::
+
+    python -m tpuspmm.cli --csr --coo -d data/small_32x32
+    python -m tpuspmm.cli --auto -d data/large_25605 --width 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpuspmm",
+        description="TPU-native SpMM benchmark/verification driver (reference: cuspmm --csr --coo --bsr --ell -d DIR)",
+    )
+    p.add_argument("--csr", action="store_true", help="run the CSR engine")
+    p.add_argument("--coo", action="store_true", help="run the COO engine")
+    p.add_argument("--bsr", action="store_true", help="run the BSR engine")
+    p.add_argument("--ell", action="store_true", help="run the ELL engine")
+    p.add_argument("--auto", action="store_true", help="format-selection engine picks the format")
+    p.add_argument("-d", "--data-dir", required=True, help="data directory (reference layout)")
+    p.add_argument("--width", type=int, default=None, help="dense-operand width when synthesising B")
+    p.add_argument("--skip-seq", action="store_true", help="skip the sequential oracle (verify vs scipy)")
+    p.add_argument("--no-vendor", action="store_true", help="skip the jax.experimental.sparse baseline")
+    p.add_argument("--repeats", type=int, default=3, help="steady-state timing repeats")
+    p.add_argument("--kernel", type=int, default=None, help="run only this kernel number (-1/0/1..N)")
+    p.add_argument("--out", type=str, default=None, help="append JSON records to this file")
+    p.add_argument("--interpret", action="store_true", help="force Pallas interpret mode")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from tpuspmm.config import default_config
+    from tpuspmm.formats import convert
+    from tpuspmm.engine.registry import get_engine
+    from tpuspmm.engine.runner import run_engine
+    from tpuspmm.engine import report as report_mod
+
+    config = default_config()
+    if args.interpret:
+        config.interpret = True
+
+    if not os.path.isdir(args.data_dir):
+        # mirror the reference's explicit missing-path diagnostics
+        # (reference/src/main.cu:146-174 exit(EXIT_FAILURE) paths)
+        print(f"data directory {args.data_dir!r} does not exist", file=sys.stderr)
+        return 2
+
+    fmts = [f for f, on in (("csr", args.csr), ("coo", args.coo), ("bsr", args.bsr), ("ell", args.ell)) if on]
+    if args.auto:
+        from tpuspmm.engine.select import select_format
+
+        probe = convert.load_sparse(args.data_dir, "coo")
+        fmt, kernel = select_format(probe)
+        print(f"# auto-selected format={fmt} kernel={kernel}", file=sys.stderr)
+        fmts = [fmt]
+    if not fmts:
+        print("no format requested (--csr/--coo/--bsr/--ell/--auto)", file=sys.stderr)
+        return 2
+
+    testcase = os.path.basename(os.path.normpath(args.data_dir))
+    dense = convert.load_dense(args.data_dir, width=args.width)
+    b = np.asarray(dense.data, dtype=np.float32)
+
+    out_stream = open(args.out, "a") if args.out else None
+    status = 0
+    try:
+        for fmt in fmts:
+            a = convert.load_sparse(args.data_dir, fmt)
+            engine = get_engine(fmt)
+            if args.kernel is not None:
+                from tpuspmm.utils.compare import allclose
+                from tpuspmm.ops import oracle as oracle_mod
+
+                result = engine.run_kernel(args.kernel, a, b, config)
+                ref = oracle_mod.spmm_scipy_oracle(a, b)
+                ok = allclose(np.asarray(result), ref, config.rel_tol, config.abs_tol)
+                rec = report_mod.make_record(
+                    testcase=testcase, sparsity=a.sparsity, fmt=fmt,
+                    kernel_type=args.kernel, correct=ok, nnz=a.nnz, shape=a.shape,
+                    n=b.shape[1],
+                )
+                report_mod.emit(rec, out_stream or sys.stdout)
+                if not ok:
+                    status = 1
+                continue
+            records = run_engine(
+                engine, a, b, testcase=testcase, config=config,
+                skip_seq=args.skip_seq, run_vendor=not args.no_vendor,
+                repeats=args.repeats, emit=out_stream is None,
+            )
+            if out_stream is not None:
+                for rec in records:
+                    report_mod.emit(rec, out_stream)
+            if any(rec.get("correct") == "0" for rec in records):
+                status = 1
+    finally:
+        if out_stream:
+            out_stream.close()
+    return status
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,70 @@
+"""Global configuration for tpuspmm.
+
+The CUDA reference hard-codes its knobs at compile time — tolerances at
+`reference/include/utils.hpp:10-11`, kernel block sizes per kernel file
+(e.g. `reference/src/spmm/csr/spmm_csr_k2.cu:5`,
+`reference/src/spmm/csr/spmm_csr_k4.cu:7-8`), and the device pin at
+`reference/src/main.cu:176`.  Here everything is a runtime dataclass so the
+CLI, engine, tests, and benchmarks share one config object.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # Correctness gate — mirrors reference REL_TOL/ABS_TOL
+    # (reference/include/utils.hpp:10-11, used via torch::allclose in every
+    # kernel wrapper, e.g. reference/src/spmm/csr/spmm_csr_k1.cu:76-81).
+    rel_tol: float = 1e-2
+    abs_tol: float = 1e-3
+
+    # Tile geometry for the Pallas tile-sparse kernels.  TM/TK are the
+    # (row-tile, k-tile) sizes of the densified A tiles; both must be
+    # multiples of the TPU lane/sublane tiling (8, 128) for f32.
+    tile_m: int = 128
+    tile_k: int = 128
+    # nnz processed per grid step in the streaming kernels (the TPU analogue
+    # of the reference's per-warp nnz chunking, spmm_csr_k2.cu:46-53).
+    chunk_nnz: int = 128
+    # Output column tile (N dimension); B panels of shape (tile_k, tile_n).
+    tile_n: int = 512
+
+    # VMEM budget used by the staged-B kernel's admission heuristic — the
+    # TPU analogue of the reference K4 shared-memory fit check
+    # (reference/src/spmm/csr/spmm_csr_k4.cu:91-101, MAXSIZE smem budget :8).
+    vmem_budget_bytes: int = 96 * 1024 * 1024
+
+    # Dtypes
+    value_dtype: str = "float32"
+    index_dtype: str = "int32"
+    # Accumulate in f32 on MXU (reference accumulates float kernels in
+    # double, reference/src/main.cu:185; on TPU f32 accumulation over MXU
+    # passes the same rel 1e-2 / abs 1e-3 gate).
+    accum_dtype: str = "float32"
+
+    # Force Pallas interpret mode (set automatically on CPU backends).
+    interpret: Optional[bool] = None
+
+    def resolve_interpret(self) -> bool:
+        if self.interpret is not None:
+            return self.interpret
+        import jax
+
+        return jax.default_backend() not in ("tpu", "axon")
+
+
+_default: Optional[Config] = None
+
+
+def default_config() -> Config:
+    global _default
+    if _default is None:
+        _default = Config()
+        if os.environ.get("TPUSPMM_INTERPRET"):
+            _default.interpret = os.environ["TPUSPMM_INTERPRET"] == "1"
+    return _default

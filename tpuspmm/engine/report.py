@@ -1,0 +1,105 @@
+"""Timing-record emission.
+
+Schema parity with the reference's `reportTime`
+(reference/include/utils.hpp:24-49), which prints one JSON object per run:
+testcase / sparsity / format / kernelType / denseOrdering / correct /
+cudaPrologTimeMs / cudaKernelTimeMs / cudaEpilogTimeMs / cudaTotalTimeMs /
+sequentialTimeMs.  Here the "cuda" prefix becomes "tpu", the
+sequential-time field actually carries the measured oracle time (the
+reference prints a hard-coded 0, utils.hpp:48 — a known bug, SURVEY.md
+§2.5), and roofline fields (GFLOP/s, nnz/s, %HBM speed-of-light) are added.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Optional
+
+# HBM bandwidth per chip for roofline math (bytes/s).
+HBM_GBPS = {
+    "v5e": 819e9,   # TPU v5 lite
+    "v5p": 2765e9,
+    "v4": 1228e9,
+    "cpu": 50e9,
+}
+
+
+def detect_chip() -> str:
+    import jax
+
+    try:
+        d = jax.devices()[0]
+        kind = getattr(d, "device_kind", "") or ""
+        if "v5 lite" in kind.lower() or "v5e" in kind.lower():
+            return "v5e"
+        if "v5p" in kind.lower() or "v5" in kind.lower():
+            return "v5p"
+        if "v4" in kind.lower():
+            return "v4"
+    except Exception:
+        pass
+    return "cpu"
+
+
+def spmm_flops(nnz: int, n: int) -> int:
+    """2 flops per nnz per output column (multiply-accumulate)."""
+    return 2 * nnz * n
+
+
+def spmm_min_bytes(nnz: int, m: int, k: int, n: int, index_bytes: int = 4) -> int:
+    """Speed-of-light HBM traffic: read values+indices once, read B once,
+    write C once (B re-reads are what good kernels avoid)."""
+    return nnz * (4 + index_bytes) + k * n * 4 + m * n * 4
+
+
+def make_record(
+    *,
+    testcase: str,
+    sparsity: float,
+    fmt: str,
+    kernel_type,
+    kernel_name: str = "",
+    correct: Optional[bool] = None,
+    prolog_ms: float = 0.0,
+    kernel_ms: float = 0.0,
+    epilog_ms: float = 0.0,
+    sequential_ms: float = 0.0,
+    nnz: int = 0,
+    shape=(0, 0),
+    n: int = 0,
+    dense_ordering: str = "row_major",
+    backend: str = "",
+    extra: Optional[dict] = None,
+) -> dict:
+    total = prolog_ms + kernel_ms + epilog_ms
+    rec = {
+        "testcase": testcase,
+        "sparsity": sparsity,
+        "format": fmt,
+        "kernelType": str(kernel_type),
+        "kernelName": kernel_name,
+        "denseOrdering": dense_ordering,
+        "correct": ("1" if correct else "0") if correct is not None else "",
+        "tpuPrologTimeMs": prolog_ms,
+        "tpuKernelTimeMs": kernel_ms,
+        "tpuEpilogTimeMs": epilog_ms,
+        "tpuTotalTimeMs": total,
+        "sequentialTimeMs": sequential_ms,
+        "backend": backend,
+    }
+    if kernel_ms > 0 and nnz and n:
+        secs = kernel_ms / 1e3
+        chip = detect_chip()
+        rec["gflops"] = spmm_flops(nnz, n) / secs / 1e9
+        rec["nnzPerSec"] = nnz * n / secs
+        sol_secs = spmm_min_bytes(nnz, shape[0], shape[1], n) / HBM_GBPS[chip]
+        rec["hbmRooflineFraction"] = sol_secs / secs
+        rec["chip"] = chip
+    if extra:
+        rec.update(extra)
+    return rec
+
+
+def emit(record: dict, stream=None) -> None:
+    print(json.dumps(record), file=stream or sys.stdout, flush=True)

@@ -1,0 +1,159 @@
+"""run_engine — orchestrate one format's full verification/timing pass.
+
+TPU-native counterpart of the reference driver `runEngine`
+(reference/src/engine/engine.cpp:16-61): run the sequential oracle (kernel
+0), then every optimized variant (1..N) verified against the oracle at
+rel 1e-2 / abs 1e-3 (reference/include/utils.hpp:10-11), then the vendor
+baseline (kernel -1).  One JSON record per run, like reportTime
+(utils.hpp:24-49).
+
+Differences by design:
+- the vendor result IS correctness-checked (the reference drops it
+  unchecked, engine.cpp:51 — SURVEY.md §3.3);
+- kernel time is steady-state (median over `repeats` after a warmup), with
+  compile/preprocessing time reported as prolog — the reference's prolog
+  is its H2D+layout time (e.g. spmm_csr_k2.cu:64-74);
+- epilog is the device→host fetch of the result, as in the reference
+  (copy2Host, spmm_csr_k2.cu:91).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from tpuspmm.config import Config, default_config
+from tpuspmm.engine.registry import Engine
+from tpuspmm.engine import report as report_mod
+from tpuspmm.ops import oracle as oracle_mod
+from tpuspmm.utils.compare import allclose
+
+
+def _block(x):
+    import jax
+
+    return jax.block_until_ready(x)
+
+
+def run_engine(
+    engine: Engine,
+    a,
+    b,
+    *,
+    testcase: str = "",
+    config: Optional[Config] = None,
+    skip_seq: bool = False,
+    run_vendor: bool = True,
+    repeats: int = 3,
+    emit=True,
+) -> List[dict]:
+    """Run oracle + all variants + vendor; return (and optionally print)
+    one record per run."""
+    import jax
+    import jax.numpy as jnp
+
+    config = config or default_config()
+    b_host = np.asarray(b, dtype=np.float32)
+    records: List[dict] = []
+    backend = jax.default_backend()
+    common = dict(
+        testcase=testcase,
+        sparsity=a.sparsity,
+        fmt=engine.fmt,
+        nnz=a.nnz,
+        shape=a.shape,
+        n=b_host.shape[1],
+        backend=backend,
+    )
+
+    # ---- kernel 0: sequential oracle (engine.cpp:30-37) -----------------
+    seq_ms = 0.0
+    ref = None
+    if not skip_seq:
+        t0 = time.perf_counter()
+        ref = oracle_mod.spmm_oracle(a, b_host)
+        seq_ms = (time.perf_counter() - t0) * 1e3
+        rec = report_mod.make_record(
+            kernel_type=0, kernel_name="oracle_numpy_f64",
+            correct=True, sequential_ms=seq_ms, **common,
+        )
+        records.append(rec)
+    else:
+        # still need a reference for verification — use the scipy oracle
+        ref = oracle_mod.spmm_scipy_oracle(a, b_host)
+
+    b_dev = jnp.asarray(b_host)
+
+    def timed_run(fn):
+        """prolog = first call (preprocessing+compile+transfer); kernel =
+        median steady-state; epilog = device→host."""
+        t0 = time.perf_counter()
+        out = _block(fn())
+        prolog_ms = (time.perf_counter() - t0) * 1e3
+        times = []
+        for _ in range(max(1, repeats)):
+            t1 = time.perf_counter()
+            out = _block(fn())
+            times.append((time.perf_counter() - t1) * 1e3)
+        kernel_ms = float(np.median(times))
+        prolog_ms = max(0.0, prolog_ms - kernel_ms)
+        t2 = time.perf_counter()
+        host = np.asarray(out)
+        epilog_ms = (time.perf_counter() - t2) * 1e3
+        return host, prolog_ms, kernel_ms, epilog_ms
+
+    # ---- kernels 1..N (engine.cpp:41-43) --------------------------------
+    for variant in engine.variants:
+        if variant.admissible is not None and not variant.admissible(a, b_host, config):
+            # mirror K4's bail-out record (spmm_csr_k4.cu:92-101), but
+            # label it explicitly instead of all-zeros
+            rec = report_mod.make_record(
+                kernel_type=variant.number, kernel_name=variant.name,
+                extra={"skipped": "inadmissible"}, **common,
+            )
+            records.append(rec)
+            continue
+        try:
+            host, prolog_ms, kernel_ms, epilog_ms = timed_run(
+                lambda v=variant: v.fn(a, b_dev, config)
+            )
+            ok = allclose(host, ref, rel_tol=config.rel_tol, abs_tol=config.abs_tol)
+            rec = report_mod.make_record(
+                kernel_type=variant.number, kernel_name=variant.name,
+                correct=ok, prolog_ms=prolog_ms, kernel_ms=kernel_ms,
+                epilog_ms=epilog_ms, sequential_ms=seq_ms, **common,
+            )
+        except Exception as e:  # record failures instead of aborting the sweep
+            rec = report_mod.make_record(
+                kernel_type=variant.number, kernel_name=variant.name,
+                correct=False, extra={"error": f"{type(e).__name__}: {e}"}, **common,
+            )
+        records.append(rec)
+
+    # ---- kernel -1: vendor baseline (engine.cpp:47-55) ------------------
+    if run_vendor and engine.supports_vendor:
+        from tpuspmm.ops import vendor
+
+        try:
+            host, prolog_ms, kernel_ms, epilog_ms = timed_run(
+                lambda: vendor.spmm_vendor(a, b_dev)
+            )
+            ok = allclose(host, ref, rel_tol=config.rel_tol, abs_tol=config.abs_tol)
+            rec = report_mod.make_record(
+                kernel_type=-1, kernel_name="jax_sparse_bcoo",
+                correct=ok, prolog_ms=prolog_ms, kernel_ms=kernel_ms,
+                epilog_ms=epilog_ms, sequential_ms=seq_ms, **common,
+            )
+        except Exception as e:
+            rec = report_mod.make_record(
+                kernel_type=-1, kernel_name="jax_sparse_bcoo",
+                correct=False, extra={"error": f"{type(e).__name__}: {e}"}, **common,
+            )
+        records.append(rec)
+
+    if emit:
+        for rec in records:
+            report_mod.emit(rec)
+    return records

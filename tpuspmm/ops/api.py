@@ -1,0 +1,79 @@
+"""Public compute API: spmm / spmv / spmm_transpose.
+
+The reference exposes compute only through its engine dispatch
+(reference/include/engine/engine_base.hpp:5-10); here a direct functional API
+is provided as well, with method selection:
+
+- "oracle" — numpy float64 oracle (kernel 0 semantics)
+- "xla"    — gather + segment-sum / batched-matmul XLA paths
+- "vendor" — jax.experimental.sparse baseline (kernel -1 semantics)
+- "pallas" — optimized Pallas kernels (tile-sparse / block-stream)
+- "auto"   — pallas on TPU backends, xla elsewhere
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _backend_is_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def spmm(a, b, method: str = "auto"):
+    """Sparse @ dense.  `a` is a tpuspmm container, `b` a (K, N) array."""
+    from tpuspmm.ops import oracle, xla, vendor
+
+    if method == "auto":
+        method = "pallas" if _backend_is_tpu() else "xla"
+    if method == "oracle":
+        return oracle.spmm_oracle(a, np.asarray(b))
+    if method == "vendor":
+        return vendor.spmm_vendor(a, b)
+    if method == "xla":
+        return _spmm_xla(a, b)
+    if method == "pallas":
+        from tpuspmm.kernels import dispatch
+
+        return dispatch.spmm_pallas(a, b)
+    raise ValueError(f"unknown method {method!r}")
+
+
+def _spmm_xla(a, b):
+    from tpuspmm.formats import CSR, COO, BSR, ELL
+    from tpuspmm.ops import xla
+
+    if isinstance(a, CSR):
+        return xla.spmm_csr_xla(a, b)
+    if isinstance(a, COO):
+        return xla.spmm_coo_xla(a, b)
+    if isinstance(a, BSR):
+        return xla.spmm_bsr_xla(a, b)
+    if isinstance(a, ELL):
+        return xla.spmm_ell_xla(a, b)
+    raise TypeError(type(a))
+
+
+def spmv(a, x, method: str = "auto"):
+    """Sparse @ vector — SpMM with N=1 (the capability the reference's
+    SpMM generalizes; kept as a first-class entry point)."""
+    x = jnp.asarray(x)
+    squeeze = x.ndim == 1
+    b = x[:, None] if squeeze else x
+    out = spmm(a, b, method=method)
+    return out[:, 0] if squeeze else out
+
+
+def spmm_transpose(a, b, method: str = "auto"):
+    """A^T @ B — needed for gradients w.r.t. the dense operand
+    (d/dB of A@B is A^T @ dC).  Implemented by transposing the triplet
+    stream; not present in the reference (forward-only harness)."""
+    from tpuspmm.formats import COO
+
+    coo = a if isinstance(a, COO) else (a.to_coo() if hasattr(a, "to_coo") else a.to_csr().to_coo())
+    at = COO(rows=np.asarray(coo.cols), cols=np.asarray(coo.rows),
+             values=np.asarray(coo.values), shape=(coo.shape[1], coo.shape[0]))
+    return spmm(at.sort_by_row(), b, method="xla" if method == "pallas" else method)

@@ -1,0 +1,53 @@
+"""Vendor-baseline SpMM via `jax.experimental.sparse`.
+
+Plays exactly the role cuSPARSE plays in the reference: a library-provided
+path that is timed and reported as kernel number -1
+(reference/src/engine/cusparse.cu:10-57, reference/src/engine/engine.cpp:47-55).
+The reference pairs CSR with `CUSPARSE_SPMM_CSR_ALG2` and COO with
+`CUSPARSE_SPMM_COO_ALG4` (reference/src/formats/sparse_csr.cu:182-185,
+sparse_coo.cu:97-100) and has no vendor path for BSR/ELL
+(engine_bsr.hpp:24, engine_ell.hpp:27); here every format gets a vendor path
+by lowering to BCOO/BCSR.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import sparse as jsparse
+
+
+@jax.jit
+def _bcoo_spmm(a_bcoo, b):
+    return a_bcoo @ b
+
+
+def supports_vendor(fmt: str) -> bool:
+    return fmt in ("csr", "coo", "bsr", "ell")
+
+
+def to_bcoo(a) -> "jsparse.BCOO":
+    """Lower any container to BCOO (duplicates summed, matching COO
+    accumulate semantics)."""
+    from tpuspmm.formats import CSR, COO, BSR, ELL
+
+    if isinstance(a, COO):
+        coo = a
+    elif isinstance(a, CSR):
+        coo = a.to_coo()
+    elif isinstance(a, (BSR, ELL)):
+        coo = a.to_csr().to_coo() if isinstance(a, BSR) else a.to_coo()
+    else:
+        raise TypeError(type(a))
+    idx = np.stack([np.asarray(coo.rows), np.asarray(coo.cols)], axis=1).astype(np.int32)
+    m = jsparse.BCOO((jnp.asarray(coo.values), jnp.asarray(idx)), shape=coo.shape)
+    return m.sum_duplicates(nse=m.nse)
+
+
+def spmm_vendor(a, b):
+    """Vendor-baseline SpMM (the -1 kernel)."""
+    return _bcoo_spmm(to_bcoo(a), jnp.asarray(b))

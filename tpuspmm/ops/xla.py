@@ -1,0 +1,124 @@
+"""XLA-level SpMM implementations (no Pallas) — gather + segment-sum.
+
+These are the TPU-idiomatic counterparts of the reference's simplest CUDA
+strategies and serve as kernel variant #1 per format in the engine registry:
+
+- `spmm_triplets`: value-scaled gather of B rows + row segment-sum.  The
+  sort-free-scatter semantics of the reference's COO atomicAdd kernel
+  (reference/src/spmm/coo/spmm_coo_k1.cu:8-27) and the per-output-element
+  CSR walk (reference/src/spmm/csr/spmm_csr_k1.cu:12-34) both reduce to
+  this on a vector machine: XLA lowers the gather and the segment reduction
+  onto the VPU without any atomics.
+- `spmm_bsr_blocks`: gathered-block batched matmul + block-row segment-sum —
+  the MXU-friendly analogue of the reference's block-row kernel
+  (reference/src/spmm/bsr/spmm_bsr_k1.cu:8-41).
+
+All functions are jit-compatible pure array functions; `num_rows`-style
+sizes are static Python ints.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("num_rows",))
+def spmm_triplets(rows, cols, values, b, *, num_rows: int):
+    """C = scatter-add over triplets: C[rows[e]] += values[e] * B[cols[e]].
+
+    Sentinel entries with row < 0 (ELL padding, reference
+    sparse_ell.cu:12-55 uses -1) are routed to a dummy segment and dropped.
+    Duplicate coordinates accumulate (COO semantics,
+    reference/src/spmm/coo/spmm_coo_k1.cu:24).
+    """
+    rows = jnp.asarray(rows)
+    safe_rows = jnp.where(rows < 0, num_rows, rows)
+    contrib = values[:, None].astype(b.dtype) * b[cols]
+    out = jax.ops.segment_sum(contrib, safe_rows, num_segments=num_rows + 1)
+    return out[:num_rows]
+
+
+@functools.partial(jax.jit, static_argnames=("num_block_rows", "block_h", "block_w"))
+def spmm_bsr_blocks(block_rows, indices, blocks, b, *, num_block_rows: int, block_h: int, block_w: int):
+    """C = Σ_blocks A_block @ B_panel, segment-summed over block rows.
+
+    `block_rows[i]` is the block-row of stored block i (expanded from
+    indptr on the host).  The batched matmul maps directly onto the MXU.
+    """
+    n = b.shape[1]
+    b_panels = b.reshape(-1, block_w, n)[indices]  # (nblocks, bw, n)
+    prod = jnp.einsum(
+        "ihw,iwn->ihn", blocks, b_panels, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    safe = jnp.where(block_rows < 0, num_block_rows, block_rows)
+    out = jax.ops.segment_sum(prod, safe, num_segments=num_block_rows + 1)[:num_block_rows]
+    return out.reshape(num_block_rows * block_h, n)
+
+
+@functools.partial(jax.jit, static_argnames=("num_rows", "num_cols"))
+def spmm_densify(rows, cols, values, b, *, num_rows: int, num_cols: int):
+    """Scatter A to dense on-device, then one dense MXU matmul.
+
+    The winning strategy at the top of the reference's synthetic density
+    sweep (0.1-0.9, reference/utils/python_utils/gen_sparse.py:63-84):
+    past ~10% density the systolic array on the densified operand beats
+    every sparse decomposition.
+    """
+    a_dense = jnp.zeros((num_rows, num_cols), dtype=b.dtype).at[rows, cols].add(values)
+    return jnp.dot(a_dense, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def expand_indptr(indptr: np.ndarray, nnz: int) -> np.ndarray:
+    """Host-side CSR indptr → per-entry row ids (static preprocessing)."""
+    indptr = np.asarray(indptr)
+    return np.repeat(
+        np.arange(len(indptr) - 1, dtype=np.int32), np.diff(indptr).astype(np.int64)
+    )[:nnz]
+
+
+# --------------------------------------------------------------------------
+# Container-level wrappers (host preprocessing + jit compute)
+# --------------------------------------------------------------------------
+
+def spmm_csr_xla(a, b):
+    rows = expand_indptr(np.asarray(a.indptr), a.nnz)
+    return spmm_triplets(
+        jnp.asarray(rows), jnp.asarray(a.indices), jnp.asarray(a.values),
+        jnp.asarray(b), num_rows=a.shape[0],
+    )
+
+
+def spmm_coo_xla(a, b):
+    return spmm_triplets(
+        jnp.asarray(a.rows), jnp.asarray(a.cols), jnp.asarray(a.values),
+        jnp.asarray(b), num_rows=a.shape[0],
+    )
+
+
+def spmm_bsr_xla(a, b):
+    block_rows = expand_indptr(np.asarray(a.indptr), a.nblocks)
+    return spmm_bsr_blocks(
+        jnp.asarray(block_rows), jnp.asarray(a.indices), jnp.asarray(a.blocks),
+        jnp.asarray(b),
+        num_block_rows=a.num_block_rows, block_h=a.block_size[0], block_w=a.block_size[1],
+    )
+
+
+def spmm_ell_xla(a, b):
+    """Column-major ELL: slot (j, k) contributes values[j,k] * B[j] to row
+    rowind[j,k] — flattened into triplets with -1 sentinels preserved."""
+    ncols, mcn = a.rowind.shape
+    cols = np.repeat(np.arange(ncols, dtype=np.int32), mcn)
+    return spmm_triplets(
+        jnp.asarray(np.asarray(a.rowind).ravel()),
+        jnp.asarray(cols),
+        jnp.asarray(np.asarray(a.values).ravel()),
+        jnp.asarray(b),
+        num_rows=a.shape[0],
+    )
