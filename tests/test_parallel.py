@@ -1,0 +1,122 @@
+"""Distributed-layer tests on the 8-virtual-CPU-device mesh (conftest).
+
+The reference has nothing distributed to mirror (SURVEY.md §0); these gate
+the new-build capability: every schedule must match the numpy oracle at the
+reference tolerance (rel 1e-2 / abs 1e-3, reference/include/utils.hpp:10-11).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpuspmm.formats import CSR
+from tpuspmm.ops import oracle
+from tpuspmm.parallel import (
+    make_mesh,
+    spmm_row_sharded,
+    spmm_ring,
+    spmm_2d,
+    lsq_train_step,
+    make_train_state,
+)
+from tpuspmm.utils.compare import allclose
+
+
+@pytest.fixture(scope="module")
+def problem(rng=None):
+    rng = np.random.default_rng(7)
+    a = CSR.random(300, 420, 0.05, seed=3)
+    b = rng.standard_normal((420, 96)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    return a, b, ref
+
+
+def test_row_sharded_tile(problem):
+    a, b, ref = problem
+    mesh = make_mesh((8,), ("rows",))
+    out = np.asarray(spmm_row_sharded(a, b, mesh, local="tile"))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_row_sharded_xla(problem):
+    a, b, ref = problem
+    mesh = make_mesh((4,), ("rows",))
+    out = np.asarray(spmm_row_sharded(a, b, mesh, local="xla"))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_ring(problem):
+    a, b, ref = problem
+    mesh = make_mesh((8,), ("rows",))
+    out = np.asarray(spmm_ring(a, b, mesh))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_ring_uneven_shapes():
+    # M, K deliberately not multiples of shard counts
+    rng = np.random.default_rng(11)
+    a = CSR.random(97, 205, 0.08, seed=5)
+    b = rng.standard_normal((205, 40)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    mesh = make_mesh((4,), ("rows",))
+    out = np.asarray(spmm_ring(a, b, mesh))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_2d_mesh(problem):
+    a, b, ref = problem
+    mesh = make_mesh((4, 2))
+    out = np.asarray(spmm_2d(a, b, mesh))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_weak_scaling_consistency(problem):
+    """Same matrix, different shard counts → identical results."""
+    a, b, ref = problem
+    outs = []
+    for n in (1, 2, 8):
+        mesh = make_mesh((n,), ("rows",))
+        outs.append(np.asarray(spmm_row_sharded(a, b, mesh, local="xla")))
+    for o in outs:
+        assert allclose(o, ref, 1e-2, 1e-3)
+
+
+def test_lsq_train_step_descends():
+    a = CSR.random(120, 200, 0.1, seed=9)
+    mesh = make_mesh((4, 2))
+    state = make_train_state(a, n=64, mesh=mesh, seed=1)
+    losses = []
+    for _ in range(3):
+        state, loss = lsq_train_step(state, mesh, lr=1e-7)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_train_grad_matches_autodiff():
+    """dB from the hand-written transpose SpMM must equal jax.grad of the
+    densified loss."""
+    import jax.numpy as jnp
+
+    a = CSR.random(40, 60, 0.2, seed=2)
+    mesh = make_mesh((2, 2))
+    state = make_train_state(a, n=32, mesh=mesh, seed=4)
+    meta = state["meta"]
+    a_dense = np.zeros((meta["m_local"] * mesh.shape["rows"], meta["k_pad"]), np.float32)
+    ad = a.to_dense()
+    a_dense[: ad.shape[0], : ad.shape[1]] = ad
+    b0 = np.asarray(state["b"])
+    c_t = np.asarray(state["c_target"])
+
+    def loss_fn(bmat):
+        r = a_dense @ bmat - c_t
+        return 0.5 * jnp.sum(r * r)
+
+    g = np.asarray(jax.grad(loss_fn)(jnp.asarray(b0)))
+    lr = 1e-2
+    new_state, _ = lsq_train_step(state, mesh, lr=lr)
+    db = (b0 - np.asarray(new_state["b"])) / lr
+    np.testing.assert_allclose(db, g, rtol=1e-3, atol=1e-4)

@@ -1,0 +1,220 @@
+"""Distributed SpMM schedules over a device mesh.
+
+Three schedules, in increasing communication sophistication:
+
+- ``spmm_row_sharded`` — A row-sharded over ``"rows"``, B replicated.
+  Zero collectives in the forward pass; each chip runs the single-chip
+  Pallas tile kernel (or the XLA segment-sum path) on its slab.  This is
+  the weak-scaling workhorse: nnz/s should scale ~linearly with chips.
+
+- ``spmm_2d`` — A row-sharded over ``"rows"``, B column-sharded over
+  ``"cols"`` (replicated over ``"rows"``).  Output is sharded over both
+  axes.  Still collective-free; HBM per chip drops by the mesh area.
+
+- ``spmm_ring`` — A row-sharded AND k-bucketed, B row(K)-sharded: no chip
+  ever holds all of B.  B panels stream around the ``"rows"`` ring via
+  ``ppermute`` while each chip multiplies the bucket matching the panel it
+  currently holds — the halo/panel-all-gather-overlapped-with-compute
+  design from BASELINE.json.  XLA schedules the ppermute concurrently with
+  the bucket compute (the send uses only the incoming panel, not the
+  accumulator).
+
+The reference has no distributed execution at all (SURVEY.md §0, §2.4:
+single hard-coded GPU at reference/src/main.cu:176); these are new-build
+capabilities, designed mesh-first rather than ported.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpuspmm.kernels.common import round_up, should_interpret
+from tpuspmm.ops.xla import spmm_triplets
+from tpuspmm.parallel.shard import (
+    RowShardedPlan,
+    KBucketedTriplets,
+    shard_rows_tileplan,
+    bucket_triplets,
+    pad_dense_rows,
+)
+
+
+def _put(mesh: Mesh, x, spec: P):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+# ---------------------------------------------------------------------------
+# row-sharded, B replicated
+# ---------------------------------------------------------------------------
+
+def spmm_row_sharded(a, b, mesh: Mesh, axis: str = "rows",
+                     local: str = "tile", plan: Optional[RowShardedPlan] = None,
+                     interpret=None):
+    """C = A @ B with A row-sharded over ``axis`` and B replicated.
+
+    ``local`` selects the per-chip kernel: "tile" = Pallas tile-sparse MXU
+    kernel, "xla" = gather + segment-sum.
+    """
+    from tpuspmm.kernels.tile_spmm import _tile_spmm
+
+    n_dev = mesh.shape[axis]
+    interp = should_interpret(interpret)
+    if plan is None:
+        plan = shard_rows_tileplan(a, n_dev)
+    m, k = plan.shape
+    b = np.asarray(b, dtype=np.float32)
+    n = b.shape[1]
+    tile_n = min(round_up(n, 128), 512)
+    n_pad = round_up(n, tile_n)
+    k_pad = plan.num_k_tiles * plan.tile_k
+    b_padded = np.pad(b, ((0, k_pad - k), (0, n_pad - n)))
+
+    shard = functools.partial(_put, mesh)
+    args = (
+        shard(plan.rt, P(axis)), shard(plan.kt, P(axis)), shard(plan.first, P(axis)),
+        shard(plan.rows, P(axis)), shard(plan.cols, P(axis)), shard(plan.vals, P(axis)),
+        shard(b_padded, P()),
+    )
+
+    static = dict(tm=plan.tile_m, tk=plan.tile_k, chunk=plan.chunk,
+                  num_row_tiles=plan.num_row_tiles, num_k_tiles=plan.num_k_tiles,
+                  tile_n=tile_n, interpret=interp)
+    m_local = plan.m_local
+
+    def local_fn(rt, kt, first, rows, cols, vals, b_pad):
+        if local == "tile":
+            out = _tile_spmm(rt[0], kt[0], first[0], rows[0], cols[0], vals[0],
+                             b_pad, **static)
+        else:
+            offs = rt[0].astype(jnp.int32) * static["tm"]
+            kofs = kt[0].astype(jnp.int32) * static["tk"]
+            gr = jnp.where(rows[0] < 0, -1, rows[0] + offs[:, None]).reshape(-1)
+            gc = (cols[0] + kofs[:, None]).reshape(-1)
+            out = spmm_triplets(gr, gc, vals[0].reshape(-1), b_pad,
+                                num_rows=m_local)
+        return out[:m_local]
+
+    # check_vma=False: Pallas out_shapes carry no varying-mesh-axes info
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis), check_vma=False,
+    ))
+    out = fn(*args)
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# 2-D: rows × cols
+# ---------------------------------------------------------------------------
+
+def spmm_2d(a, b, mesh: Mesh, plan: Optional[RowShardedPlan] = None,
+            interpret=None):
+    """C = A @ B on a 2-D mesh: A sharded over "rows", B over "cols"."""
+    from tpuspmm.kernels.tile_spmm import _tile_spmm
+
+    n_rows = mesh.shape["rows"]
+    n_cols = mesh.shape["cols"]
+    interp = should_interpret(interpret)
+    if plan is None:
+        plan = shard_rows_tileplan(a, n_rows)
+    m, k = plan.shape
+    b = np.asarray(b, dtype=np.float32)
+    n = b.shape[1]
+    n_local = round_up(-(-n // n_cols), 128)
+    tile_n = min(n_local, 512)
+    n_pad = n_local * n_cols
+    k_pad = plan.num_k_tiles * plan.tile_k
+    b_padded = np.pad(b, ((0, k_pad - k), (0, n_pad - n)))
+
+    shard = functools.partial(_put, mesh)
+    args = (
+        shard(plan.rt, P("rows")), shard(plan.kt, P("rows")), shard(plan.first, P("rows")),
+        shard(plan.rows, P("rows")), shard(plan.cols, P("rows")), shard(plan.vals, P("rows")),
+        shard(b_padded, P(None, "cols")),
+    )
+    static = dict(tm=plan.tile_m, tk=plan.tile_k, chunk=plan.chunk,
+                  num_row_tiles=plan.num_row_tiles, num_k_tiles=plan.num_k_tiles,
+                  tile_n=tile_n, interpret=interp)
+    m_local = plan.m_local
+
+    def local_fn(rt, kt, first, rows, cols, vals, b_loc):
+        out = _tile_spmm(rt[0], kt[0], first[0], rows[0], cols[0], vals[0],
+                         b_loc, **static)
+        return out[:m_local]
+
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P("rows"), P("rows"), P("rows"), P("rows"), P("rows"), P("rows"),
+                  P(None, "cols")),
+        out_specs=P("rows", "cols"), check_vma=False,
+    ))
+    out = fn(*args)
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# ring: B K-sharded, panels ppermuted around the mesh axis
+# ---------------------------------------------------------------------------
+
+def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
+              buckets: Optional[KBucketedTriplets] = None):
+    """C = A @ B with B sharded along K; panels ride the ICI ring.
+
+    Device d starts with panel d.  At ring step i it holds panel
+    ``src = (d - i) mod n`` and multiplies bucket ``src`` of its row slab
+    against it while ``ppermute`` forwards the panel to ``d + 1``.  After n
+    steps every bucket has met its panel; the accumulator is the local C
+    slab.  Communication volume per chip: (n-1)/n of B, pipelined.
+    """
+    n_dev = mesh.shape[axis]
+    if buckets is None:
+        buckets = bucket_triplets(a, n_dev, n_dev)
+    m, k = buckets.shape
+    m_local, k_local = buckets.m_local, buckets.k_local
+    b_padded = pad_dense_rows(b, k_local * n_dev)
+    n = b_padded.shape[1]
+
+    shard = functools.partial(_put, mesh)
+    args = (
+        shard(buckets.rows, P(axis)),
+        shard(buckets.cols, P(axis)),
+        shard(buckets.vals, P(axis)),
+        shard(b_padded, P(axis)),
+    )
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+
+    def local_fn(rows, cols, vals, b_panel):
+        rows, cols, vals = rows[0], cols[0], vals[0]  # (S, E)
+        idx = jax.lax.axis_index(axis)
+        # the accumulator joins a carry with mesh-varying b_panel
+        acc0 = jax.lax.pcast(jnp.zeros((m_local, n), jnp.float32),
+                             (axis,), to="varying")
+
+        def body(i, carry):
+            b_cur, acc = carry
+            src = (idx - i) % n_dev
+            r = jnp.take(rows, src, axis=0)
+            c = jnp.take(cols, src, axis=0)
+            v = jnp.take(vals, src, axis=0)
+            # the send depends only on b_cur — XLA overlaps it with compute
+            b_nxt = jax.lax.ppermute(b_cur, axis, perm)
+            acc = acc + spmm_triplets(r, c, v, b_cur, num_rows=m_local)
+            return (b_nxt, acc)
+
+        _, acc = jax.lax.fori_loop(0, n_dev, body, (b_panel, acc0))
+        return acc
+
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    ))
+    out = fn(*args)
+    return out[:m, : np.asarray(b).shape[1]]
