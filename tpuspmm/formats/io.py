@@ -193,6 +193,20 @@ def write_ell_text(rowind_path: str, values_path: str, shape, nnz, max_col_nnz, 
             f.write(" ".join(repr(float(v)) for v in col) + "\n")
 
 
+def write_ell_rowmajor_text(colind_path: str, values_path: str, shape, nnz, max_row_nnz, colind, values):
+    """Row-major ELL pair ``*_colind.ell`` + ``*_values.ell`` — the second
+    orientation the reference converter emits (reference
+    utils/python_utils/convert_mtx.py:195-239; unused by its binary but part
+    of the tooling surface)."""
+    with open(colind_path, "w") as f:
+        f.write(f"{shape[0]} {shape[1]} {nnz} {max_row_nnz}\n")
+        for row in np.asarray(colind):
+            f.write(" ".join(map(str, row.tolist())) + "\n")
+    with open(values_path, "w") as f:
+        for row in np.asarray(values):
+            f.write(" ".join(repr(float(v)) for v in row) + "\n")
+
+
 def write_dense_text(path: str, dense: np.ndarray):
     """dense.in writer (reference convert_mtx.py:63-96; the third header
     token is the dense nnz count, which the reference loader ignores)."""
