@@ -145,6 +145,15 @@ def read_mtx(path: str):
     import scipy.io
     import scipy.sparse
 
+    nat = _native()
+    if nat is not None:
+        try:
+            shape, r, c, v = nat.read_mtx_triplets(path)
+            return scipy.sparse.coo_matrix(
+                (v.astype(np.float64), (r, c)), shape=shape
+            )
+        except Exception:
+            pass  # dense/skew/unsupported banner → scipy
     m = scipy.io.mmread(path)
     return m
 
