@@ -1,0 +1,86 @@
+"""Per-format benchmark sweep over the reference data corpus.
+
+Counterpart of the reference sweep scripts (reference/test/{csr,coo,bsr}.sh:
+run the binary over every data dir, append stdout records to a .json file).
+Here one process sweeps all requested formats × datasets via the engine and
+writes newline-delimited JSON, plus a stderr summary table.
+
+Usage::
+
+    python -m bench.sweep_formats --formats csr,coo,bsr,ell \
+        --out results/formats.jsonl [--data-root /root/reference/data] \
+        [--width 256] [--dirs small_32x32,medium_2048] [--repeats 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+DEFAULT_ROOT = "/root/reference/data"
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--data-root", default=DEFAULT_ROOT)
+    p.add_argument("--dirs", default=None,
+                   help="comma-separated dir names (default: all in root)")
+    p.add_argument("--formats", default="csr,coo,bsr,ell")
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--skip-seq", action="store_true")
+    p.add_argument("--no-vendor", action="store_true")
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    from tpuspmm.config import default_config
+    from tpuspmm.engine.registry import get_engine
+    from tpuspmm.engine.runner import run_engine
+    from tpuspmm.engine import report as report_mod
+    from tpuspmm.formats import convert
+
+    config = default_config()
+    dirs = (args.dirs.split(",") if args.dirs
+            else sorted(d for d in os.listdir(args.data_root)
+                        if os.path.isdir(os.path.join(args.data_root, d))))
+    formats = args.formats.split(",")
+    out_stream = open(args.out, "a") if args.out else sys.stdout
+
+    failures = 0
+    try:
+        for dirname in dirs:
+            data_dir = os.path.join(args.data_root, dirname)
+            try:
+                dense = convert.load_dense(data_dir, width=args.width)
+            except FileNotFoundError as e:
+                print(f"# skip {dirname}: {e}", file=sys.stderr)
+                continue
+            b = np.asarray(dense.data, dtype=np.float32)
+            for fmt in formats:
+                try:
+                    a = convert.load_sparse(data_dir, fmt)
+                except FileNotFoundError:
+                    continue
+                print(f"# {dirname} {fmt}: A {a.shape} nnz={a.nnz} N={b.shape[1]}",
+                      file=sys.stderr)
+                records = run_engine(
+                    get_engine(fmt), a, b, testcase=dirname, config=config,
+                    skip_seq=args.skip_seq, run_vendor=not args.no_vendor,
+                    repeats=args.repeats, emit=False,
+                )
+                for rec in records:
+                    report_mod.emit(rec, out_stream)
+                    if rec.get("correct") == "0":
+                        failures += 1
+    finally:
+        if args.out:
+            out_stream.close()
+    print(f"# sweep done, {failures} incorrect records", file=sys.stderr)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

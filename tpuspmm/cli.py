@@ -86,16 +86,29 @@ def main(argv=None) -> int:
             a = convert.load_sparse(args.data_dir, fmt)
             engine = get_engine(fmt)
             if args.kernel is not None:
+                import time as _time
+
+                import jax as _jax
+
                 from tpuspmm.utils.compare import allclose
                 from tpuspmm.ops import oracle as oracle_mod
 
-                result = engine.run_kernel(args.kernel, a, b, config)
+                t0 = _time.perf_counter()
+                result = _jax.block_until_ready(engine.run_kernel(args.kernel, a, b, config))
+                prolog_ms = (_time.perf_counter() - t0) * 1e3
+                times = []
+                for _ in range(max(1, args.repeats)):
+                    t1 = _time.perf_counter()
+                    result = _jax.block_until_ready(engine.run_kernel(args.kernel, a, b, config))
+                    times.append((_time.perf_counter() - t1) * 1e3)
+                kernel_ms = float(np.median(times))
                 ref = oracle_mod.spmm_scipy_oracle(a, b)
                 ok = allclose(np.asarray(result), ref, config.rel_tol, config.abs_tol)
                 rec = report_mod.make_record(
                     testcase=testcase, sparsity=a.sparsity, fmt=fmt,
                     kernel_type=args.kernel, correct=ok, nnz=a.nnz, shape=a.shape,
-                    n=b.shape[1],
+                    n=b.shape[1], prolog_ms=max(0.0, prolog_ms - kernel_ms),
+                    kernel_ms=kernel_ms,
                 )
                 report_mod.emit(rec, out_stream or sys.stdout)
                 if not ok:

@@ -92,7 +92,7 @@ def make_record(
         secs = kernel_ms / 1e3
         chip = detect_chip()
         rec["gflops"] = spmm_flops(nnz, n) / secs / 1e9
-        rec["nnzPerSec"] = nnz * n / secs
+        rec["nnzPerSec"] = nnz / secs
         sol_secs = spmm_min_bytes(nnz, shape[0], shape[1], n) / HBM_GBPS[chip]
         rec["hbmRooflineFraction"] = sol_secs / secs
         rec["chip"] = chip

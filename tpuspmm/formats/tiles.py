@@ -174,8 +174,24 @@ def build_tile_plan(
 
 
 def plan_from_container(a, tile_m=128, tile_k=128, chunk=128) -> TilePlan:
-    """Lower any tpuspmm container to a TilePlan via its triplets."""
+    """Lower any tpuspmm container to a TilePlan via its triplets.
+
+    Plans are cached on the (frozen, immutable) container so repeated
+    SpMM calls with the same matrix — the serving steady state — pay the
+    host preprocessing once.
+    """
     from tpuspmm.formats import CSR, COO, BSR, ELL
+
+    key = (tile_m, tile_k, chunk)
+    cache = getattr(a, "_plan_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(a, "_plan_cache", cache)
+        except Exception:
+            cache = None
+    if cache is not None and key in cache:
+        return cache[key]
 
     if isinstance(a, COO):
         coo = a
@@ -187,7 +203,10 @@ def plan_from_container(a, tile_m=128, tile_k=128, chunk=128) -> TilePlan:
         coo = a.to_csr().to_coo()
     else:
         raise TypeError(type(a))
-    return build_tile_plan(
+    plan = build_tile_plan(
         np.asarray(coo.rows), np.asarray(coo.cols), np.asarray(coo.values),
         coo.shape, tile_m=tile_m, tile_k=tile_k, chunk=chunk,
     )
+    if cache is not None:
+        cache[key] = plan
+    return plan
