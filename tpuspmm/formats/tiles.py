@@ -65,6 +65,19 @@ class TilePlan:
     def padded_shape(self) -> Tuple[int, int]:
         return (self.num_row_tiles * self.tile_m, self.num_k_tiles * self.tile_k)
 
+    def device_arrays(self):
+        """(rt, kt, first, rows, cols, vals) as device arrays, transferred
+        once and cached — steady-state calls must not re-pay H2D."""
+        cached = getattr(self, "_device_arrays", None)
+        if cached is None:
+            import jax.numpy as jnp
+
+            cached = tuple(jnp.asarray(x) for x in
+                           (self.rt, self.kt, self.first,
+                            self.rows, self.cols, self.vals))
+            object.__setattr__(self, "_device_arrays", cached)
+        return cached
+
     # chunks-per-row-tile bookkeeping for the staged-B kernel
     def chunk_ranges(self) -> Tuple[np.ndarray, np.ndarray]:
         """(start, end) chunk index per row tile."""

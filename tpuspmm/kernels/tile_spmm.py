@@ -124,9 +124,9 @@ def spmm_tiles(plan: TilePlan, b, tile_n: Optional[int] = None, interpret=None):
     k_pad = plan.num_k_tiles * plan.tile_k
     b_padded = pad_b(b, k_pad, n_pad)
 
+    rt, kt, first, rows, cols, vals = plan.device_arrays()
     out = _tile_spmm(
-        jnp.asarray(plan.rt), jnp.asarray(plan.kt), jnp.asarray(plan.first),
-        jnp.asarray(plan.rows), jnp.asarray(plan.cols), jnp.asarray(plan.vals),
+        rt, kt, first, rows, cols, vals,
         b_padded,
         tm=plan.tile_m, tk=plan.tile_k, chunk=plan.chunk,
         num_row_tiles=plan.num_row_tiles, num_k_tiles=plan.num_k_tiles,
