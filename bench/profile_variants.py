@@ -41,7 +41,7 @@ def main(argv=None) -> int:
     from tpuspmm.kernels import tile_spmm
     from tpuspmm.ops import oracle, vendor, xla
     from tpuspmm.utils.compare import allclose
-    from tpuspmm.utils.timing import time_fn
+    from tpuspmm.utils.timing import device_time_ms, tunnel_rtt_ms
 
     skip = set(args.skip.split(",")) if args.skip else set()
     if args.random:
@@ -63,15 +63,19 @@ def main(argv=None) -> int:
     print(f"# A {a.shape} nnz={a.nnz} (density {a.sparsity:.2e}), N={n}, "
           f"backend={jax.default_backend()}", file=sys.stderr)
 
+    print(f"# tunnel RTT {tunnel_rtt_ms():.1f} ms (amortized out below)",
+          file=sys.stderr)
     rows = []
 
-    def bench(name, fn):
+    def bench(name, fn_of_b):
+        """fn_of_b: b -> C, timed as a chained device loop (RTT excluded)."""
         try:
-            ms, out = time_fn(fn, warmup=2, repeats=args.repeats)
+            out = fn_of_b(b_dev)
+            ok = allclose(np.asarray(out), ref, 1e-2, 1e-3)
+            ms = device_time_ms(fn_of_b, b_dev, iters=args.repeats)
         except Exception as e:
             print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
             return
-        ok = allclose(np.asarray(out), ref, 1e-2, 1e-3)
         gflops = flops / (ms / 1e3) / 1e9
         rows.append({"variant": name, "ms": round(ms, 4),
                      "gflops": round(gflops, 2), "correct": bool(ok)})
@@ -79,7 +83,7 @@ def main(argv=None) -> int:
               file=sys.stderr)
 
     if "xla" not in skip:
-        bench("xla_segment_sum", lambda: xla.spmm_csr_xla(a, b_dev))
+        bench("xla_segment_sum", lambda bb: xla.spmm_csr_xla(a, bb))
     if "tile" not in skip:
         for tk in (int(x) for x in args.tile_ks.split(",")):
             for ch in (int(x) for x in args.chunks.split(",")):
@@ -88,18 +92,18 @@ def main(argv=None) -> int:
                       f"({plan.num_chunks * ch / max(a.nnz, 1):.1f}x padding)",
                       file=sys.stderr)
                 bench(f"pallas_tile_tk{tk}_c{ch}",
-                      lambda plan=plan: tile_spmm.spmm_tiles(plan, b_dev))
+                      lambda bb, plan=plan: tile_spmm.spmm_tiles(plan, bb))
     if "densify" not in skip and a.shape[0] * a.shape[1] * 4 <= (1 << 30):
         coo = a.to_coo()
         r_d, c_d, v_d = (jnp.asarray(np.asarray(coo.rows)),
                          jnp.asarray(np.asarray(coo.cols)),
                          jnp.asarray(np.asarray(coo.values)))
         bench("xla_densify_matmul",
-              lambda: xla.spmm_densify(r_d, c_d, v_d, b_dev,
-                                       num_rows=a.shape[0], num_cols=a.shape[1]))
+              lambda bb: xla.spmm_densify(r_d, c_d, v_d, bb,
+                                          num_rows=a.shape[0], num_cols=a.shape[1]))
     if "vendor" not in skip:
         a_bcoo = vendor.to_bcoo(a)
-        bench("vendor_bcoo", lambda: vendor._bcoo_spmm(a_bcoo, b_dev))
+        bench("vendor_bcoo", lambda bb: vendor._bcoo_spmm(a_bcoo, bb))
 
     print(json.dumps({"testcase": args.data_dir, "width": n, "results": rows}))
     return 0

@@ -31,12 +31,6 @@ from tpuspmm.ops import oracle as oracle_mod
 from tpuspmm.utils.compare import allclose
 
 
-def _block(x):
-    import jax
-
-    return jax.block_until_ready(x)
-
-
 def run_engine(
     engine: Engine,
     a,
@@ -88,14 +82,18 @@ def run_engine(
 
     def timed_run(fn):
         """prolog = first call (preprocessing+compile+transfer); kernel =
-        median steady-state; epilog = device→host."""
+        median steady-state latency with a forced one-element fetch per
+        call (block_until_ready alone can return on enqueue on tunneled
+        backends — see tpuspmm/utils/timing.py); epilog = device→host."""
+        from tpuspmm.utils.timing import force
+
         t0 = time.perf_counter()
-        out = _block(fn())
+        out = force(fn())
         prolog_ms = (time.perf_counter() - t0) * 1e3
         times = []
         for _ in range(max(1, repeats)):
             t1 = time.perf_counter()
-            out = _block(fn())
+            out = force(fn())
             times.append((time.perf_counter() - t1) * 1e3)
         kernel_ms = float(np.median(times))
         prolog_ms = max(0.0, prolog_ms - kernel_ms)

@@ -80,7 +80,11 @@ def _bsr_spmm(rt, kt, first, blocks, b_padded, *, block_h, block_w, num_block_ro
 
 def _prep_bsr(a: BSR):
     """Host preprocessing: expand indptr to per-block row ids, first flags,
-    and guarantee every block row has ≥1 (possibly zero) block."""
+    and guarantee every block row has ≥1 (possibly zero) block.  Cached on
+    the container as device arrays (transfer once, serve many)."""
+    cached = getattr(a, "_stream_prep", None)
+    if cached is not None:
+        return cached
     indptr = np.asarray(a.indptr)
     nbr = a.num_block_rows
     counts = np.diff(indptr).astype(np.int64)
@@ -98,7 +102,12 @@ def _prep_bsr(a: BSR):
     first = np.zeros(len(rt), dtype=np.int32)
     first[0] = 1
     first[1:] = (rt[1:] != rt[:-1]).astype(np.int32)
-    return rt, kt, first, blocks
+    out = tuple(jnp.asarray(x) for x in (rt, kt, first, blocks))
+    try:
+        object.__setattr__(a, "_stream_prep", out)
+    except Exception:
+        pass
+    return out
 
 
 def mxu_friendly(block_size) -> bool:
@@ -108,7 +117,24 @@ def mxu_friendly(block_size) -> bool:
 
 def pack_blocks(a: BSR, super_block=(128, 128)) -> Optional[BSR]:
     """Re-tile small-block BSR into MXU-sized super-blocks when the fill-in
-    is acceptable (≤4× storage growth); returns None otherwise."""
+    is acceptable (≤4× storage growth); returns None otherwise.  Cached on
+    the container (the repack is an expensive host transform)."""
+    cache = getattr(a, "_packed_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(a, "_packed_cache", cache)
+        except Exception:
+            cache = None
+    if cache is not None and super_block in cache:
+        return cache[super_block]
+    packed = _pack_blocks_impl(a, super_block)
+    if cache is not None:
+        cache[super_block] = packed
+    return packed
+
+
+def _pack_blocks_impl(a: BSR, super_block) -> Optional[BSR]:
     sp = a.to_scipy().tocsr()
     try:
         m = sp.tobsr(blocksize=super_block)
@@ -136,7 +162,7 @@ def spmm_bsr_stream(a: BSR, b, tile_n: Optional[int] = None, interpret=None):
 
     rt, kt, first, blocks = _prep_bsr(a)
     out = _bsr_spmm(
-        jnp.asarray(rt), jnp.asarray(kt), jnp.asarray(first), jnp.asarray(blocks), b_padded,
+        rt, kt, first, blocks, b_padded,
         block_h=a.block_size[0], block_w=bw,
         num_block_rows=a.num_block_rows, tile_n=tile_n, interpret=interp,
     )

@@ -1,8 +1,19 @@
-"""Best-kernel dispatch for the Pallas path.
+"""Best-kernel dispatch for the optimized path.
 
-Chooses among the optimized kernels by format and problem geometry — the
-runtime analogue of the reference's compile-time kernel numbering
-(reference/include/engine/engine_csr.hpp:68-89).
+Chooses among the strategies by format and problem geometry — the runtime
+analogue of the reference's compile-time kernel numbering
+(reference/include/engine/engine_csr.hpp:68-89), with thresholds fitted to
+measured v5e device times (bench/profile_variants.py, chained timing):
+
+  density ≥ 0.4% and dense A ≤ 128 MiB → on-device densify + MXU matmul
+      (2048² @ 1% density: 0.17 ms vs 0.88 ms tile / 1.8 ms gather)
+  ≥ ~24 nnz per tile chunk              → Pallas tile-sparse MXU kernel
+      (large_25605: 0.97 ms vs 1.5 ms gather / 1.5 ms vendor)
+  otherwise                             → XLA gather + segment-sum
+      (hyper-sparse irregular: tile padding overhead dominates)
+
+MXU-friendly BSR always takes the block-streaming kernel (the stored
+blocks are already systolic-array operands).
 """
 
 from __future__ import annotations
@@ -14,8 +25,44 @@ from tpuspmm.formats import CSR, COO, BSR, ELL
 from tpuspmm.kernels import tile_spmm, bsr_spmm, csr_vmem
 from tpuspmm.kernels.common import round_up
 
+# fitted on v5e (see module docstring); conservative so CPU/interpret tests
+# exercise every path
+DENSIFY_MAX_BYTES = 128 * 1024 * 1024
+DENSIFY_MIN_DENSITY = 0.004
+TILE_MIN_NNZ_PER_CHUNK = 24.0
+
+
+def _spmm_xla_any(a, b):
+    from tpuspmm.ops import xla
+
+    if isinstance(a, CSR):
+        return xla.spmm_csr_xla(a, b)
+    if isinstance(a, COO):
+        return xla.spmm_coo_xla(a, b)
+    if isinstance(a, BSR):
+        return xla.spmm_bsr_xla(a, b)
+    if isinstance(a, ELL):
+        return xla.spmm_ell_xla(a, b)
+    raise TypeError(type(a))
+
+
+def _densify(a, b):
+    from tpuspmm.ops import xla
+
+    coo = a if isinstance(a, COO) else (a.to_coo() if hasattr(a, "to_coo")
+                                        else a.to_csr().to_coo())
+    rows, cols, vals = xla._cached_device(
+        coo, "triplets",
+        lambda: (jnp.asarray(np.asarray(coo.rows)),
+                 jnp.asarray(np.asarray(coo.cols)),
+                 jnp.asarray(np.asarray(coo.values))),
+    )
+    return xla.spmm_densify(rows, cols, vals, b,
+                            num_rows=a.shape[0], num_cols=a.shape[1])
+
 
 def spmm_pallas(a, b, interpret=None):
+    """Best-strategy SpMM (the `method="pallas"` / auto path)."""
     b = jnp.asarray(b)
     if isinstance(a, BSR) and bsr_spmm.mxu_friendly(a.block_size):
         return bsr_spmm.spmm_bsr_stream(a, b, interpret=interpret)
@@ -23,11 +70,17 @@ def spmm_pallas(a, b, interpret=None):
         packed = bsr_spmm.pack_blocks(a)
         if packed is not None:
             return bsr_spmm.spmm_bsr_stream(packed, b, interpret=interpret)
-    # generic unstructured path
+
+    m, k = a.shape
+    if m * k * 4 <= DENSIFY_MAX_BYTES and a.sparsity >= DENSIFY_MIN_DENSITY:
+        return _densify(a, b)
+
     plan = tile_spmm.plan_from_container(a)
-    n_pad = round_up(b.shape[1], 128)
-    k_pad = plan.num_k_tiles * plan.tile_k
-    chunk_bytes = plan.num_chunks * plan.chunk * 12
-    if csr_vmem.fits_vmem(k_pad, n_pad, plan.tile_m, chunk_bytes=chunk_bytes):
-        return csr_vmem.spmm_staged(plan, b, interpret=interpret)
-    return tile_spmm.spmm_tiles(plan, b, interpret=interpret)
+    if a.nnz / max(plan.num_chunks, 1) >= TILE_MIN_NNZ_PER_CHUNK:
+        n_pad = round_up(b.shape[1], 128)
+        k_pad = plan.num_k_tiles * plan.tile_k
+        chunk_bytes = plan.num_chunks * plan.chunk * 12
+        if csr_vmem.fits_vmem(k_pad, n_pad, plan.tile_m, chunk_bytes=chunk_bytes):
+            return csr_vmem.spmm_staged(plan, b, interpret=interpret)
+        return tile_spmm.spmm_tiles(plan, b, interpret=interpret)
+    return _spmm_xla_any(a, b)
