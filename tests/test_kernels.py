@@ -141,3 +141,36 @@ def test_spmv_and_transpose():
         np.asarray(spmm_transpose(a, g, method="xla")), sp.toarray().T @ g,
         rtol=1e-3, atol=1e-3,
     )
+
+
+class TestCResidentKernel:
+    """C-resident k-major kernel (tpuspmm/kernels/cres_spmm.py)."""
+
+    def test_matches_oracle(self, rng):
+        from tpuspmm.formats import CSR
+        from tpuspmm.kernels.cres_spmm import spmm_cres
+        from tpuspmm.ops import oracle
+        from tpuspmm.utils.compare import allclose
+
+        a = CSR.random(200, 1500, 0.03, seed=7)
+        b = rng.standard_normal((1500, 72)).astype(np.float32)
+        out = np.asarray(spmm_cres(a, b, interpret=True))
+        assert allclose(out, oracle.spmm_oracle(a, b), 1e-2, 1e-3)
+
+    def test_duplicate_accumulation(self):
+        from tpuspmm.formats import COO
+        from tpuspmm.kernels.cres_spmm import spmm_cres
+        from tpuspmm.utils.compare import allclose
+
+        # duplicate coordinates must accumulate (COO semantics)
+        a = COO(rows=np.array([0, 0, 1], np.int32), cols=np.array([2, 2, 0], np.int32),
+                values=np.array([1.5, 2.5, 3.0], np.float32), shape=(4, 4))
+        b = np.eye(4, dtype=np.float32)
+        out = np.asarray(spmm_cres(a, b, interpret=True))
+        assert allclose(out, a.to_dense() @ b, 1e-6, 1e-6)
+
+    def test_admission_rejects_big_output(self):
+        from tpuspmm.kernels.cres_spmm import fits_vmem_out
+
+        assert fits_vmem_out(6400, 256, 128)
+        assert not fits_vmem_out(65536, 1024, 128)

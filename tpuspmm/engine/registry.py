@@ -117,6 +117,21 @@ def _densify_ok(a, b, config):
     return a.shape[0] * a.shape[1] * 4 <= (1 << 30)
 
 
+def _cres(a, b, config):
+    from tpuspmm.kernels import cres_spmm
+
+    return cres_spmm.spmm_cres(a, b, interpret=config.interpret)
+
+
+def _cres_ok(a, b, config):
+    from tpuspmm.kernels import cres_spmm
+    from tpuspmm.kernels.common import round_up
+
+    m_pad = round_up(a.shape[0], config.tile_m)
+    n_pad = round_up(b.shape[1], 128)
+    return cres_spmm.fits_vmem_out(m_pad, n_pad, config.tile_k)
+
+
 def _coo_xla(a, b, config):
     from tpuspmm.ops import xla
 
@@ -161,6 +176,9 @@ def build_engines() -> Dict[str, Engine]:
                 KernelVariant(4, "xla_densify_matmul", _densify_matmul,
                               "on-device densify + one dense MXU matmul (wins the high-density sweep)",
                               admissible=_densify_ok),
+                KernelVariant(5, "pallas_c_resident", _cres,
+                              "whole output resident in VMEM, k-major B panels fetched once (large-K shapes)",
+                              admissible=_cres_ok),
             ],
         ),
         "coo": Engine(

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuspmm.formats import CSR, COO, BSR, ELL
-from tpuspmm.kernels import tile_spmm, bsr_spmm, csr_vmem
+from tpuspmm.kernels import tile_spmm, bsr_spmm, csr_vmem, cres_spmm
 from tpuspmm.kernels.common import round_up
 
 # fitted on v5e (see module docstring); conservative so CPU/interpret tests
@@ -79,8 +79,11 @@ def spmm_pallas(a, b, interpret=None):
     if a.nnz / max(plan.num_chunks, 1) >= TILE_MIN_NNZ_PER_CHUNK:
         n_pad = round_up(b.shape[1], 128)
         k_pad = plan.num_k_tiles * plan.tile_k
+        m_pad = plan.num_row_tiles * plan.tile_m
         chunk_bytes = plan.num_chunks * plan.chunk * 12
         if csr_vmem.fits_vmem(k_pad, n_pad, plan.tile_m, chunk_bytes=chunk_bytes):
             return csr_vmem.spmm_staged(plan, b, interpret=interpret)
+        if cres_spmm.fits_vmem_out(m_pad, n_pad, plan.tile_k):
+            return cres_spmm.spmm_cres(plan, b, interpret=interpret)
         return tile_spmm.spmm_tiles(plan, b, interpret=interpret)
     return _spmm_xla_any(a, b)
