@@ -1,0 +1,115 @@
+"""Engine-layer tests: format selection, dispatch routing, API surface."""
+
+import numpy as np
+import pytest
+
+from tpuspmm.formats import CSR, COO, BSR, ELL, convert
+from tpuspmm.engine import select
+from tpuspmm.engine.registry import get_engine, FORMATS
+from tpuspmm.ops import oracle
+from tpuspmm.utils.compare import allclose
+import tpuspmm
+
+
+@pytest.fixture(scope="module")
+def small():
+    rng = np.random.default_rng(0)
+    a = CSR.random(150, 220, 0.05, seed=1)
+    b = rng.standard_normal((220, 48)).astype(np.float32)
+    return a, b, oracle.spmm_oracle(a, b)
+
+
+def test_engines_exist_with_reference_variant_counts():
+    """Reference: CSR=4, COO=1, BSR=1, ELL=1 kernels (SURVEY.md §2.1 N3);
+    this build must have at least that many per format."""
+    mins = {"csr": 4, "coo": 1, "bsr": 1, "ell": 1}
+    for fmt in FORMATS:
+        assert get_engine(fmt).num_kernels >= mins[fmt]
+
+
+def test_run_kernel_numbering(small):
+    """-1 = vendor, 0 = oracle, 1..N = variants (engine.cpp:16-61)."""
+    a, b, ref = small
+    eng = get_engine("csr")
+    assert allclose(np.asarray(eng.run_kernel(0, a, b)), ref, 1e-6, 1e-6)
+    assert allclose(np.asarray(eng.run_kernel(-1, a, b)), ref, 1e-2, 1e-3)
+    for v in eng.variants:
+        if v.admissible is None or v.admissible(a, b, tpuspmm.default_config()):
+            out = np.asarray(eng.run_kernel(v.number, a, b))
+            assert allclose(out, ref, 1e-2, 1e-3), v.name
+
+
+def test_select_format_block_structure():
+    a = BSR.random_blocks(256, 256, (128, 128), 0.3, seed=0).to_csr()
+    fmt, kernel = select.select_format(a)
+    assert fmt == "bsr"
+
+
+def test_select_format_hyper_sparse():
+    a = CSR.random(2000, 3000, 0.0005, seed=2)
+    fmt, kernel = select.select_format(a)
+    assert fmt in ("csr", "ell")
+
+
+def test_auto_spmm_correct(small):
+    a, b, ref = small
+    out, fmt, kernel = select.auto_spmm(a, b)
+    assert fmt in FORMATS
+    assert allclose(np.asarray(out), ref, 1e-2, 1e-3)
+
+
+def test_dispatch_routes_densify():
+    """Moderate density + affordable dense A → densify path."""
+    from tpuspmm.kernels import dispatch
+
+    a = CSR.random(256, 256, 0.05, seed=3)
+    b = np.random.default_rng(0).standard_normal((256, 32)).astype(np.float32)
+    out = np.asarray(dispatch.spmm_pallas(a, b))
+    assert allclose(out, oracle.spmm_oracle(a, b), 1e-2, 1e-3)
+
+
+def test_dispatch_routes_hyper_sparse_to_xla():
+    from tpuspmm.kernels import dispatch
+
+    a = CSR.random(500, 4000, 0.0008, seed=4)
+    b = np.random.default_rng(1).standard_normal((4000, 16)).astype(np.float32)
+    out = np.asarray(dispatch.spmm_pallas(a, b))
+    assert allclose(out, oracle.spmm_oracle(a, b), 1e-2, 1e-3)
+
+
+def test_spmv(small):
+    a, b, ref = small
+    x = b[:, 0]
+    out = np.asarray(tpuspmm.spmv(a, x, method="xla"))
+    assert out.shape == (a.shape[0],)
+    assert allclose(out[:, None], ref[:, [0]], 1e-2, 1e-3)
+
+
+def test_spmm_transpose(small):
+    a, b, ref = small
+    g = np.random.default_rng(5).standard_normal((a.shape[0], 8)).astype(np.float32)
+    out = np.asarray(tpuspmm.spmm_transpose(a, g, method="xla"))
+    expect = a.to_dense().T.astype(np.float64) @ g
+    assert allclose(out, expect, 1e-2, 1e-3)
+
+
+def test_public_api_formats_round_trip(small):
+    a, b, ref = small
+    for fmt in FORMATS:
+        m = convert.to_format(a, fmt)
+        out = np.asarray(tpuspmm.spmm(m, b, method="xla"))
+        assert allclose(out, ref, 1e-2, 1e-3), fmt
+
+
+def test_timing_module_cpu():
+    """device_time_ms chains correctly on the CPU backend."""
+    import jax.numpy as jnp
+
+    from tpuspmm.utils import timing
+
+    w = jnp.ones((64, 64))
+    ms = timing.device_time_ms(
+        lambda b: jnp.dot(w, b, preferred_element_type=jnp.float32),
+        jnp.ones((64, 64)), iters=4, repeats=2,
+    )
+    assert ms > 0
