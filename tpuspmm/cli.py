@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kernel", type=int, default=None, help="run only this kernel number (-1/0/1..N)")
     p.add_argument("--out", type=str, default=None, help="append JSON records to this file")
     p.add_argument("--interpret", action="store_true", help="force Pallas interpret mode")
+    p.add_argument("--trace", type=str, default=None,
+                   help="write a jax.profiler trace to this directory")
     return p
 
 
@@ -81,25 +83,30 @@ def main(argv=None) -> int:
 
     out_stream = open(args.out, "a") if args.out else None
     status = 0
+    import contextlib
+
+    from tpuspmm.utils.profiling import trace as profiler_trace
+
+    trace_ctx = profiler_trace(args.trace) if args.trace else contextlib.nullcontext()
     try:
+      with trace_ctx:
         for fmt in fmts:
             a = convert.load_sparse(args.data_dir, fmt)
             engine = get_engine(fmt)
             if args.kernel is not None:
                 import time as _time
 
-                import jax as _jax
-
                 from tpuspmm.utils.compare import allclose
+                from tpuspmm.utils.timing import force
                 from tpuspmm.ops import oracle as oracle_mod
 
                 t0 = _time.perf_counter()
-                result = _jax.block_until_ready(engine.run_kernel(args.kernel, a, b, config))
+                result = force(engine.run_kernel(args.kernel, a, b, config))
                 prolog_ms = (_time.perf_counter() - t0) * 1e3
                 times = []
                 for _ in range(max(1, args.repeats)):
                     t1 = _time.perf_counter()
-                    result = _jax.block_until_ready(engine.run_kernel(args.kernel, a, b, config))
+                    result = force(engine.run_kernel(args.kernel, a, b, config))
                     times.append((_time.perf_counter() - t1) * 1e3)
                 kernel_ms = float(np.median(times))
                 ref = oracle_mod.spmm_scipy_oracle(a, b)

@@ -16,6 +16,7 @@ from tpuspmm.parallel.spmm import (
     spmm_2d,
 )
 from tpuspmm.parallel.train import lsq_train_step, make_train_state
+from tpuspmm.parallel import multihost
 
 __all__ = [
     "make_mesh",
@@ -27,4 +28,5 @@ __all__ = [
     "spmm_2d",
     "lsq_train_step",
     "make_train_state",
+    "multihost",
 ]
