@@ -70,10 +70,10 @@ def main(argv=None) -> int:
     t_ours = _device_seconds(lambda bb: dispatch.spmm_pallas(a, bb), b_dev,
                              iters=args.repeats)
 
-    # vendor baseline: jax.experimental.sparse BCOO @ dense
-    a_bcoo = vendor.to_bcoo(a)
+    # vendor baseline: jax.experimental.sparse, best of BCSR/BCOO @ dense
     try:
-        t_vendor = _device_seconds(lambda bb: vendor._bcoo_spmm(a_bcoo, bb),
+        vendor.spmm_vendor(a, b_dev)  # warm the lowering caches
+        t_vendor = _device_seconds(lambda bb: vendor.spmm_vendor(a, bb),
                                    b_dev, iters=min(args.repeats, 8))
     except Exception as e:
         print(f"# vendor baseline failed: {e}", file=sys.stderr)

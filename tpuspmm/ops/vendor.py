@@ -30,24 +30,66 @@ def supports_vendor(fmt: str) -> bool:
     return fmt in ("csr", "coo", "bsr", "ell")
 
 
+def _vendor_cached(a, key, build):
+    cache = getattr(a, "_vendor_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(a, "_vendor_cache", cache)
+        except Exception:
+            return build()
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
 def to_bcoo(a) -> "jsparse.BCOO":
     """Lower any container to BCOO (duplicates summed, matching COO
-    accumulate semantics)."""
+    accumulate semantics).  Cached on the container — the lowering is the
+    vendor path's prolog, paid once like cuSPARSE descriptor setup
+    (reference/src/engine/cusparse.cu:19-31)."""
     from tpuspmm.formats import CSR, COO, BSR, ELL
 
-    if isinstance(a, COO):
-        coo = a
-    elif isinstance(a, CSR):
-        coo = a.to_coo()
-    elif isinstance(a, (BSR, ELL)):
-        coo = a.to_csr().to_coo() if isinstance(a, BSR) else a.to_coo()
-    else:
-        raise TypeError(type(a))
-    idx = np.stack([np.asarray(coo.rows), np.asarray(coo.cols)], axis=1).astype(np.int32)
-    m = jsparse.BCOO((jnp.asarray(coo.values), jnp.asarray(idx)), shape=coo.shape)
-    return m.sum_duplicates(nse=m.nse)
+    def build():
+        if isinstance(a, COO):
+            coo = a
+        elif isinstance(a, CSR):
+            coo = a.to_coo()
+        elif isinstance(a, (BSR, ELL)):
+            coo = a.to_csr().to_coo() if isinstance(a, BSR) else a.to_coo()
+        else:
+            raise TypeError(type(a))
+        idx = np.stack([np.asarray(coo.rows), np.asarray(coo.cols)], axis=1).astype(np.int32)
+        m = jsparse.BCOO((jnp.asarray(coo.values), jnp.asarray(idx)), shape=coo.shape)
+        return m.sum_duplicates(nse=m.nse)
+
+    return _vendor_cached(a, "bcoo", build)
+
+
+def to_bcsr(a) -> "jsparse.BCSR":
+    """Lower a CSR container to BCSR — the analogue of the reference pairing
+    CSR with `CUSPARSE_SPMM_CSR_ALG2` (reference/src/formats/sparse_csr.cu:182-185)."""
+    def build():
+        return jsparse.BCSR(
+            (jnp.asarray(np.asarray(a.values)),
+             jnp.asarray(np.asarray(a.indices)),
+             jnp.asarray(np.asarray(a.indptr))),
+            shape=a.shape,
+        )
+
+    return _vendor_cached(a, "bcsr", build)
 
 
 def spmm_vendor(a, b):
-    """Vendor-baseline SpMM (the -1 kernel)."""
-    return _bcoo_spmm(to_bcoo(a), jnp.asarray(b))
+    """Vendor-baseline SpMM (the -1 kernel).  CSR → BCSR when supported,
+    everything else → BCOO (the reference likewise picks a per-format
+    cuSPARSE algorithm)."""
+    from tpuspmm.formats import CSR
+
+    b = jnp.asarray(b)
+    if isinstance(a, CSR):
+        try:
+            return _bcoo_spmm(to_bcsr(a), b)
+        except Exception:
+            pass  # BCSR matmul unsupported on this backend/version
+    return _bcoo_spmm(to_bcoo(a), b)
