@@ -19,7 +19,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -45,8 +44,6 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from tpuspmm.formats import convert
-    from tpuspmm.formats.tiles import plan_from_container
-    from tpuspmm.kernels import tile_spmm
     from tpuspmm.ops import oracle, vendor
     from tpuspmm.utils.compare import allclose
 

@@ -27,10 +27,6 @@ reference's native mmio reader (reference/utils/utils/mmio.c).
 
 from __future__ import annotations
 
-import io as _io
-import os
-from typing import Tuple
-
 import numpy as np
 
 _NATIVE = None

@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuspmm.kernels.common import cdiv, round_up, should_interpret, pad_b
+from tpuspmm.kernels.common import round_up, should_interpret, pad_b
 from tpuspmm.formats.bsr import BSR
 
 

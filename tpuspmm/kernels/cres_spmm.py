@@ -18,8 +18,6 @@ the buffer flushes to HBM once, after the last step.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,15 +16,12 @@ the streaming tile kernel.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuspmm.kernels.common import cdiv, round_up, should_interpret, pad_b
+from tpuspmm.kernels.common import round_up, should_interpret, pad_b
 from tpuspmm.formats.tiles import TilePlan, plan_from_container
 
 

@@ -32,11 +32,10 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuspmm.kernels.common import cdiv, round_up, should_interpret, pad_b
+from tpuspmm.kernels.common import round_up, should_interpret, pad_b
 from tpuspmm.formats.tiles import TilePlan, plan_from_container
 
 

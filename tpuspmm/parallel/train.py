@@ -21,8 +21,7 @@ segment-sum); the backward is the transpose-triplet SpMM
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpuspmm.kernels.common import round_up
 from tpuspmm.ops.xla import spmm_triplets
-from tpuspmm.parallel.shard import bucket_triplets, pad_dense_rows
+from tpuspmm.parallel.shard import bucket_triplets
 
 
 def make_train_state(a, n: int, mesh: Mesh, seed: int = 0) -> Dict:
