@@ -108,8 +108,9 @@ def build_tile_plan(
 
     tile_r = rows // tile_m
     tile_k_ids = cols // tile_k
-    # sort by (tile_r, tile_k) then row/col for locality
-    order = np.lexsort((cols, rows, tile_k_ids, tile_r))
+    # stable sort on the combined (tile_r, tile_k) key — within-group order
+    # is irrelevant to correctness (duplicates accumulate on the MXU)
+    order = np.argsort(tile_r * _cdiv(shape[1], tile_k) + tile_k_ids, kind="stable")
     rows, cols, vals = rows[order], cols[order], vals[order]
     tile_r, tile_k_ids = tile_r[order], tile_k_ids[order]
 
@@ -117,34 +118,40 @@ def build_tile_plan(
     # group boundaries
     if len(group_key):
         gb = np.flatnonzero(np.diff(group_key)) + 1
-        starts = np.concatenate([[0], gb])
-        ends = np.concatenate([gb, [len(group_key)]])
+        starts = np.concatenate([[0], gb]).astype(np.int64)
+        ends = np.concatenate([gb, [len(group_key)]]).astype(np.int64)
     else:
         starts = np.zeros(0, dtype=np.int64)
         ends = np.zeros(0, dtype=np.int64)
 
-    chunk_rt, chunk_kt, chunk_slices = [], [], []
-    for s, e in zip(starts, ends):
-        g_rt = int(tile_r[s])
-        g_kt = int(tile_k_ids[s])
-        for cs in range(int(s), int(e), chunk):
-            chunk_rt.append(g_rt)
-            chunk_kt.append(g_kt)
-            chunk_slices.append((cs, min(cs + chunk, int(e))))
+    # split each (row-tile, k-tile) group into fixed-size chunks — fully
+    # vectorised (a Python loop here dominates prolog time at millions of nnz)
+    g_sizes = ends - starts
+    g_nchunks = -(-g_sizes // chunk) if len(g_sizes) else g_sizes
+    n_data_chunks = int(g_nchunks.sum())
+    chunk_group = np.repeat(np.arange(len(starts), dtype=np.int64), g_nchunks)
+    within = (np.arange(n_data_chunks, dtype=np.int64)
+              - np.repeat(np.cumsum(g_nchunks) - g_nchunks, g_nchunks))
+    c_start = starts[chunk_group] + within * chunk
+    c_end = np.minimum(c_start + chunk, ends[chunk_group])
+    c_rt = tile_r[starts[chunk_group]] if n_data_chunks else np.zeros(0, np.int64)
+    c_kt = tile_k_ids[starts[chunk_group]] if n_data_chunks else np.zeros(0, np.int64)
 
     # ensure every row tile has at least one chunk (zero-fill semantics)
     present = np.zeros(nrt, dtype=bool)
-    for r in chunk_rt:
-        present[r] = True
-    for r in range(nrt):
-        if not present[r]:
-            chunk_rt.append(r)
-            chunk_kt.append(0)
-            chunk_slices.append((0, 0))
+    present[c_rt] = True
+    missing = np.flatnonzero(~present).astype(np.int64)
+    if len(missing):
+        c_rt = np.concatenate([c_rt, missing])
+        c_kt = np.concatenate([c_kt, np.zeros(len(missing), np.int64)])
+        c_start = np.concatenate([c_start, np.zeros(len(missing), np.int64)])
+        c_end = np.concatenate([c_end, np.zeros(len(missing), np.int64)])
 
     # order chunks by row tile (stable: keeps k-tile grouping within)
-    corder = np.argsort(np.asarray(chunk_rt, dtype=np.int64), kind="stable")
-    C = len(corder)
+    corder = np.argsort(c_rt, kind="stable")
+    c_rt, c_kt = c_rt[corder], c_kt[corder]
+    c_start, c_end = c_start[corder], c_end[corder]
+    C = len(c_rt)
     E = chunk
     # pad the chunk count to a multiple of 8 so the kernel can read chunk
     # payloads through (8, E)-shaped VMEM blocks (TPU sublane tiling);
@@ -158,19 +165,25 @@ def build_tile_plan(
     out_cols = np.zeros((C_pad, E), dtype=np.int32)
     out_vals = np.zeros((C_pad, E), dtype=np.float32)
 
-    prev_rt = -1
-    for ci, gi in enumerate(corder):
-        g_rt, g_kt = chunk_rt[gi], chunk_kt[gi]
-        s, e = chunk_slices[gi]
-        n = e - s
-        out_rt[ci] = g_rt
-        out_kt[ci] = g_kt
-        out_first[ci] = 1 if g_rt != prev_rt else 0
-        prev_rt = g_rt
-        if n:
-            out_rows[ci, :n] = (rows[s:e] - g_rt * tile_m).astype(np.int32)
-            out_cols[ci, :n] = (cols[s:e] - g_kt * tile_k).astype(np.int32)
-            out_vals[ci, :n] = vals[s:e]
+    out_rt[:C] = c_rt
+    out_kt[:C] = c_kt
+    if C:
+        out_first[0] = 1
+        out_first[1:C] = (c_rt[1:] != c_rt[:-1]).astype(np.int32)
+    # scatter the payload: chunk ci takes triplets [c_start[ci], c_end[ci])
+    lengths = c_end - c_start
+    total = int(lengths.sum())
+    if total:
+        cum = np.cumsum(lengths)
+        in_chunk = np.arange(total, dtype=np.int64) - np.repeat(cum - lengths, lengths)
+        src = np.repeat(c_start, lengths) + in_chunk
+        dst = np.repeat(np.arange(C_pad, dtype=np.int64)[: len(lengths)] * E,
+                        lengths) + in_chunk
+        rt_rep = np.repeat(c_rt, lengths)
+        kt_rep = np.repeat(c_kt, lengths)
+        out_rows.ravel()[dst] = (rows[src] - rt_rep * tile_m).astype(np.int32)
+        out_cols.ravel()[dst] = (cols[src] - kt_rep * tile_k).astype(np.int32)
+        out_vals.ravel()[dst] = vals[src]
 
     # padding chunks (C..C_pad) attach to the last visited row tile so the
     # grid order stays row-tile-monotonic; all-sentinel rows contribute 0
