@@ -113,3 +113,24 @@ def test_timing_module_cpu():
         jnp.ones((64, 64)), iters=4, repeats=2,
     )
     assert ms > 0
+
+
+def test_spmm_fn_gradient_matches_dense():
+    import jax
+    import jax.numpy as jnp
+
+    a = CSR.random(60, 80, 0.1, seed=6)
+    b0 = np.random.default_rng(2).standard_normal((80, 16)).astype(np.float32)
+    f = tpuspmm.spmm_fn(a, method="xla")
+    tgt = np.random.default_rng(3).standard_normal((60, 16)).astype(np.float32)
+
+    def loss(b):
+        r = f(b) - tgt
+        return 0.5 * jnp.sum(r * r)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(b0)))
+    ad = a.to_dense().astype(np.float64)
+    g_ref = ad.T @ (ad @ b0 - tgt)
+    # framework gate tolerance (f32 forward/backward vs f64 reference,
+    # A values span ±100 so absolute magnitudes are large)
+    assert allclose(g, g_ref, 1e-2, 1e-3)

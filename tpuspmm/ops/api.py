@@ -67,13 +67,47 @@ def spmv(a, x, method: str = "auto"):
     return out[:, 0] if squeeze else out
 
 
+def spmm_fn(a, method: str = "auto"):
+    """Return a differentiable ``b -> A @ b`` closure over the sparse
+    operand.
+
+    The backward pass is the transpose SpMM (d/dB of A@B is Aᵀ@dC), run
+    through the same optimized machinery — the gradient path a pruned-LLM
+    training step needs (frozen sparse weights, trainable dense operand).
+    The reference is forward-only (no autograd anywhere); this is
+    new-build capability, exercised distributed by
+    tpuspmm/parallel/train.py.
+    """
+    import jax
+
+    @jax.custom_vjp
+    def f(b):
+        return spmm(a, b, method=method)
+
+    def fwd(b):
+        return f(b), None
+
+    def bwd(_, g):
+        return (spmm_transpose(a, g, method=method),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def spmm_transpose(a, b, method: str = "auto"):
     """A^T @ B — needed for gradients w.r.t. the dense operand
     (d/dB of A@B is A^T @ dC).  Implemented by transposing the triplet
-    stream; not present in the reference (forward-only harness)."""
+    stream (cached on the container); not present in the reference
+    (forward-only harness)."""
     from tpuspmm.formats import COO
 
-    coo = a if isinstance(a, COO) else (a.to_coo() if hasattr(a, "to_coo") else a.to_csr().to_coo())
-    at = COO(rows=np.asarray(coo.cols), cols=np.asarray(coo.rows),
-             values=np.asarray(coo.values), shape=(coo.shape[1], coo.shape[0]))
-    return spmm(at.sort_by_row(), b, method="xla" if method == "pallas" else method)
+    at = getattr(a, "_transposed", None)
+    if at is None:
+        coo = a if isinstance(a, COO) else (a.to_coo() if hasattr(a, "to_coo") else a.to_csr().to_coo())
+        at = COO(rows=np.asarray(coo.cols), cols=np.asarray(coo.rows),
+                 values=np.asarray(coo.values), shape=(coo.shape[1], coo.shape[0])).sort_by_row()
+        try:
+            object.__setattr__(a, "_transposed", at)
+        except Exception:
+            pass
+    return spmm(at, b, method="xla" if method == "pallas" else method)
