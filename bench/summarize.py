@@ -1,0 +1,85 @@
+"""Summarize sweep JSONL records into a markdown table.
+
+Reads the newline-delimited JSON produced by bench/sweep_formats,
+bench/sweep_sparsity, or the CLI's --out, groups by (testcase, format),
+and reports the best kernel per group with correctness counts — the
+human-readable layer the reference left to a plotting notebook
+(SURVEY.md §4: "no assertion layer — a human inspects the JSON").
+
+Usage::
+
+    python -m bench.summarize results/formats_full.jsonl [--csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from collections import defaultdict
+
+
+def load(paths):
+    records = []
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    records.append(json.loads(line))
+    return records
+
+
+def summarize(records):
+    groups = defaultdict(list)
+    for r in records:
+        groups[(r.get("testcase", "?"), r.get("format", "?"))].append(r)
+    rows = []
+    for (tc, fmt), recs in sorted(groups.items()):
+        timed = [r for r in recs
+                 if r.get("correct") == "1" and r.get("tpuKernelTimeMs", 0) > 0
+                 and r.get("kernelType") not in ("0",)]
+        n_bad = sum(r.get("correct") == "0" for r in recs)
+        best = min(timed, key=lambda r: r["tpuKernelTimeMs"]) if timed else None
+        vendor = next((r for r in timed if r.get("kernelType") == "-1"), None)
+        rows.append({
+            "testcase": tc,
+            "format": fmt,
+            "records": len(recs),
+            "incorrect": n_bad,
+            "best_kernel": best.get("kernelName") or best.get("kernelType") if best else "-",
+            "best_ms": round(best["tpuKernelTimeMs"], 3) if best else None,
+            "gflops": round(best.get("gflops", 0), 2) if best else None,
+            "vs_vendor": (round(vendor["tpuKernelTimeMs"] / best["tpuKernelTimeMs"], 2)
+                          if best and vendor and best["tpuKernelTimeMs"] > 0 else None),
+        })
+    return rows
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("paths", nargs="+")
+    p.add_argument("--csv", action="store_true")
+    args = p.parse_args(argv)
+    rows = summarize(load(args.paths))
+    if not rows:
+        print("no records", file=sys.stderr)
+        return 1
+    cols = list(rows[0].keys())
+    if args.csv:
+        print(",".join(cols))
+        for r in rows:
+            print(",".join(str(r[c]) for c in cols))
+    else:
+        print("| " + " | ".join(cols) + " |")
+        print("|" + "|".join("---" for _ in cols) + "|")
+        for r in rows:
+            print("| " + " | ".join(str(r[c]) for c in cols) + " |")
+    total_bad = sum(r["incorrect"] for r in rows)
+    print(f"\n{len(rows)} groups, {total_bad} incorrect records total",
+          file=sys.stderr)
+    return 0 if total_bad == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
