@@ -30,6 +30,8 @@ def main(argv=None) -> int:
                    help="comma-separated dir names (default: all in root)")
     p.add_argument("--formats", default="csr,coo,bsr,ell")
     p.add_argument("--width", type=int, default=None)
+    p.add_argument("--synth-b", action="store_true",
+                   help="ignore on-disk dense operands; synthesise B of --width")
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--skip-seq", action="store_true")
     p.add_argument("--no-vendor", action="store_true")
@@ -54,7 +56,8 @@ def main(argv=None) -> int:
         for dirname in dirs:
             data_dir = os.path.join(args.data_root, dirname)
             try:
-                dense = convert.load_dense(data_dir, width=args.width)
+                dense = convert.load_dense(data_dir, width=args.width,
+                                           force_synthetic=args.synth_b)
             except FileNotFoundError as e:
                 print(f"# skip {dirname}: {e}", file=sys.stderr)
                 continue

@@ -174,3 +174,37 @@ class TestCResidentKernel:
 
         assert fits_vmem_out(6400, 256, 128)
         assert not fits_vmem_out(65536, 1024, 128)
+
+
+class TestEdgeCases:
+    def test_empty_matrix_all_paths(self):
+        """nnz=0 must produce all-zeros through every strategy."""
+        from tpuspmm.formats import CSR
+        from tpuspmm.kernels import dispatch, tile_spmm, cres_spmm
+        from tpuspmm.ops import xla
+        import scipy.sparse
+
+        a = CSR.from_scipy(scipy.sparse.csr_matrix((40, 60), dtype=np.float32))
+        b = np.ones((60, 16), np.float32)
+        for out in (
+            dispatch.spmm_pallas(a, b, interpret=True),
+            tile_spmm.spmm_tile_sparse(a, b, interpret=True),
+            cres_spmm.spmm_cres(a, b, interpret=True),
+            xla.spmm_csr_xla(a, b),
+        ):
+            out = np.asarray(out)
+            assert out.shape == (40, 16)
+            assert np.all(out == 0.0)
+
+    def test_single_nnz(self):
+        from tpuspmm.formats import COO
+        from tpuspmm.kernels import tile_spmm, cres_spmm
+
+        a = COO(rows=np.array([3], np.int32), cols=np.array([140], np.int32),
+                values=np.array([2.0], np.float32), shape=(10, 200))
+        b = np.arange(200 * 8, dtype=np.float32).reshape(200, 8)
+        expect = np.zeros((10, 8), np.float32)
+        expect[3] = 2.0 * b[140]
+        for fn in (tile_spmm.spmm_tile_sparse, cres_spmm.spmm_cres):
+            np.testing.assert_allclose(np.asarray(fn(a, b, interpret=True)),
+                                       expect, rtol=1e-6)

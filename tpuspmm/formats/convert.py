@@ -94,12 +94,16 @@ def load_sparse(data_dir: str, fmt: str, block_size=(4, 4)):
     raise FileNotFoundError(f"no {fmt} (or .mtx) input in {data_dir}")
 
 
-def load_dense(data_dir: str, width: Optional[int] = None, seed: int = 0) -> DenseMatrix:
+def load_dense(data_dir: str, width: Optional[int] = None, seed: int = 0,
+               force_synthetic: bool = False) -> DenseMatrix:
     """Load the dense operand: `dense.in` preferred, then `dense.mtx`.
     If neither exists (the reference's missing-blob dirs,
-    reference/.MISSING_LARGE_BLOBS:1-4) a deterministic random operand of
-    the requested width is synthesised."""
+    reference/.MISSING_LARGE_BLOBS:1-4) — or ``force_synthetic`` is set
+    (e.g. the on-disk operand is too wide for the environment) — a
+    deterministic random operand of the requested width is synthesised."""
     f = discover(data_dir)
+    if force_synthetic:
+        f = dict(f, dense=None, dense_mtx=None)
     if f["dense"]:
         return DenseMatrix.from_file(f["dense"])
     if f["dense_mtx"]:
