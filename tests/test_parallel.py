@@ -139,3 +139,25 @@ def test_profiling_trace_noop(tmp_path):
 
     with trace(str(tmp_path / "trace")):
         pass  # must not raise even if the profiler is unavailable
+
+
+def test_kshard_reduce_scatter(problem):
+    from tpuspmm.parallel import spmm_kshard
+
+    a, b, ref = problem
+    mesh = make_mesh((4,), ("rows",))
+    out = np.asarray(spmm_kshard(a, b, mesh))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_kshard_uneven():
+    rng = np.random.default_rng(13)
+    a = CSR.random(101, 333, 0.07, seed=8)
+    b = rng.standard_normal((333, 24)).astype(np.float32)
+    ref = np.asarray(__import__("tpuspmm").spmm(a, b, method="oracle"))
+    from tpuspmm.parallel import spmm_kshard
+
+    mesh = make_mesh((8,), ("rows",))
+    out = np.asarray(spmm_kshard(a, b, mesh))
+    assert allclose(out, ref, 1e-2, 1e-3)

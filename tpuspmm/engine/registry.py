@@ -97,8 +97,12 @@ def _staged_ok(a, b, config):
 
     k_pad = round_up(a.shape[1], config.tile_k)
     n_pad = round_up(b.shape[1], 128)
-    # cheap pre-check before building the plan
-    return csr_vmem.fits_vmem(k_pad, n_pad, config.tile_m)
+    # the real chunk payload must fit alongside B (plan is cached, so this
+    # costs nothing in steady state) — must match spmm_staged's own gate
+    plan = plan_from_container(a, tile_m=config.tile_m, tile_k=config.tile_k,
+                               chunk=config.chunk_nnz)
+    chunk_bytes = plan.num_chunks * plan.chunk * 12
+    return csr_vmem.fits_vmem(k_pad, n_pad, config.tile_m, chunk_bytes=chunk_bytes)
 
 
 def _densify_matmul(a, b, config):

@@ -56,16 +56,20 @@ class CSR(MatrixBase):
         return cls.from_scipy(scipy.sparse.csr_matrix(np.asarray(dense)))
 
     @classmethod
-    def random(cls, rows: int, cols: int, density: float, seed: int = 0) -> "CSR":
-        """Synthetic matrix matching the reference generator's recipe
+    def random(cls, rows: int, cols: int, density: float, seed: int = 0,
+               lo: float = -100.0, hi: float = 100.0) -> "CSR":
+        """Synthetic matrix; defaults match the reference generator's recipe
         (uniform values in [-100, 100], reference
-        utils/python_utils/gen_sparse.py:63-84)."""
+        utils/python_utils/gen_sparse.py:63-84).  Note: at that value scale
+        and high density, f32 kernels cannot meet the abs-1e-3 gate on
+        catastrophically-cancelling outputs — pass lo/hi = ±1 when the
+        result feeds a verification sweep."""
         import scipy.sparse
 
         rng = np.random.default_rng(seed)
         m = scipy.sparse.random(
             rows, cols, density=density, format="csr", random_state=rng,
-            data_rvs=lambda n: rng.uniform(-100.0, 100.0, n),
+            data_rvs=lambda n: rng.uniform(lo, hi, n),
         )
         return cls.from_scipy(m)
 

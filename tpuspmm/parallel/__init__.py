@@ -14,6 +14,7 @@ from tpuspmm.parallel.spmm import (
     spmm_row_sharded,
     spmm_ring,
     spmm_2d,
+    spmm_kshard,
 )
 from tpuspmm.parallel.train import lsq_train_step, make_train_state
 from tpuspmm.parallel import multihost
@@ -26,6 +27,7 @@ __all__ = [
     "spmm_row_sharded",
     "spmm_ring",
     "spmm_2d",
+    "spmm_kshard",
     "lsq_train_step",
     "make_train_state",
     "multihost",

@@ -160,6 +160,54 @@ def spmm_2d(a, b, mesh: Mesh, plan: Optional[RowShardedPlan] = None,
 
 
 # ---------------------------------------------------------------------------
+# K-sharded: A column-partitioned, partial outputs reduce-scattered
+# ---------------------------------------------------------------------------
+
+def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
+                buckets: Optional[KBucketedTriplets] = None):
+    """C = A @ B with the *contraction* dimension sharded.
+
+    Each chip owns a column slab of A (as triplets) and the matching K-rows
+    of B, computes a full-height partial C, and a ``psum_scatter`` over the
+    mesh axis both reduces the partials and leaves C row-sharded — the
+    reduce-scatter decomposition, complementary to the ring schedule (which
+    keeps A row-sharded and moves B instead).  Communication: one
+    reduce-scatter of C per call, riding ICI.
+    """
+    n_dev = mesh.shape[axis]
+    if buckets is None:
+        # single row shard, K bucketed: buckets.rows is (1, S, E)
+        buckets = bucket_triplets(a, 1, n_dev, m_align=8 * n_dev)
+    m, k = buckets.shape
+    m_pad = buckets.m_local  # aligned so the scatter splits evenly
+    k_local = buckets.k_local
+    b_padded = pad_dense_rows(b, k_local * n_dev)
+    n = b_padded.shape[1]
+
+    shard = functools.partial(_put, mesh)
+    args = (
+        shard(buckets.rows[0], P(axis)),   # (S, E) → local (1, E)
+        shard(buckets.cols[0], P(axis)),
+        shard(buckets.vals[0], P(axis)),
+        shard(b_padded, P(axis)),
+    )
+
+    def local_fn(rows, cols, vals, b_panel):
+        partial = spmm_triplets(rows[0], cols[0], vals[0], b_panel,
+                                num_rows=m_pad)
+        return jax.lax.psum_scatter(partial, axis, scatter_dimension=0,
+                                    tiled=True)
+
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    ))
+    out = fn(*args)
+    return out[:m, : np.asarray(b).shape[1]]
+
+
+# ---------------------------------------------------------------------------
 # ring: B K-sharded, panels ppermuted around the mesh axis
 # ---------------------------------------------------------------------------
 
