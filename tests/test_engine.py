@@ -134,3 +134,28 @@ def test_spmm_fn_gradient_matches_dense():
     # framework gate tolerance (f32 forward/backward vs f64 reference,
     # A values span ±100 so absolute magnitudes are large)
     assert allclose(g, g_ref, 1e-2, 1e-3)
+
+
+def test_runner_device_fault_aborts_engine(monkeypatch, small):
+    """An UNAVAILABLE device error must flag the record and stop the run
+    (a poisoned client fails every subsequent call slowly)."""
+    from tpuspmm.engine.runner import run_engine
+    from tpuspmm.engine.registry import Engine, KernelVariant
+
+    a, b, _ = small
+
+    def boom(a_, b_, cfg):
+        raise RuntimeError("UNAVAILABLE: TPU device error")
+
+    def never(a_, b_, cfg):
+        raise AssertionError("must not run after a device fault")
+
+    eng = Engine(fmt="csr", variants=[
+        KernelVariant(1, "boom", boom),
+        KernelVariant(2, "never", never),
+    ])
+    records = run_engine(eng, a, b, testcase="t", repeats=1, emit=False)
+    fault = [r for r in records if r.get("device_fault") == "1"]
+    assert len(fault) == 1 and fault[0]["kernelName"] == "boom"
+    assert not any(r.get("kernelName") == "never" for r in records)
+    assert not any(r.get("kernelType") == "-1" for r in records)

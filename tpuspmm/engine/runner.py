@@ -103,6 +103,7 @@ def run_engine(
         return host, prolog_ms, kernel_ms, epilog_ms
 
     # ---- kernels 1..N (engine.cpp:41-43) --------------------------------
+    device_fault = False
     for variant in engine.variants:
         if variant.admissible is not None and not variant.admissible(a, b_host, config):
             # mirror K4's bail-out record (spmm_csr_k4.cu:92-101), but
@@ -128,10 +129,18 @@ def run_engine(
                 kernel_type=variant.number, kernel_name=variant.name,
                 correct=False, extra={"error": f"{type(e).__name__}: {e}"}, **common,
             )
+            if "UNAVAILABLE" in str(e):
+                # device fault poisons the client — every later call would
+                # fail slowly too (observed: one faulting kernel took down
+                # the rest of a sweep); flag it and stop this engine run
+                rec["device_fault"] = "1"
+                device_fault = True
         records.append(rec)
+        if device_fault:
+            break
 
     # ---- kernel -1: vendor baseline (engine.cpp:47-55) ------------------
-    if run_vendor and engine.supports_vendor:
+    if run_vendor and engine.supports_vendor and not device_fault:
         from tpuspmm.ops import vendor
 
         try:
