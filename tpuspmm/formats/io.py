@@ -164,7 +164,7 @@ def write_csr_text(path: str, shape, indptr, indices, values):
         f.write(f"{shape[0]} {shape[1]} {len(values)}\n")
         f.write(" ".join(map(str, np.asarray(indptr).tolist())) + "\n")
         f.write(" ".join(map(str, np.asarray(indices).tolist())) + "\n")
-        f.write(" ".join(repr(float(v)) for v in np.asarray(values)) + "\n")
+        np.savetxt(f, np.asarray(values)[None, :], fmt="%.9g")
 
 
 def write_coo_text(path: str, shape, rows, cols, values):
@@ -172,8 +172,10 @@ def write_coo_text(path: str, shape, rows, cols, values):
     order = np.lexsort((cols, rows))
     with open(path, "w") as f:
         f.write(f"{shape[0]} {shape[1]} {len(values)}\n")
-        for i in order:
-            f.write(f"{int(rows[i])} {int(cols[i])} {repr(float(values[i]))}\n")
+        np.savetxt(f, np.column_stack([np.asarray(rows)[order],
+                                       np.asarray(cols)[order],
+                                       np.asarray(values)[order]]),
+                   fmt=["%d", "%d", "%.9g"])
 
 
 def write_bsr_text(path: str, shape, nnz, block_size, indptr, indices, blocks):
@@ -183,8 +185,8 @@ def write_bsr_text(path: str, shape, nnz, block_size, indptr, indices, blocks):
         f.write(f"{shape[0]} {shape[1]} {nnz} {brows} {bcols} {len(indices)}\n")
         f.write(" ".join(map(str, np.asarray(indptr).tolist())) + "\n")
         f.write(" ".join(map(str, np.asarray(indices).tolist())) + "\n")
-        for block in np.asarray(blocks):
-            f.write(" ".join(repr(float(v)) for v in block.ravel()) + "\n")
+        flat = np.asarray(blocks).reshape(len(indices), -1) if len(indices) else np.zeros((0, 1))
+        np.savetxt(f, flat, fmt="%.9g")
 
 
 def write_ell_text(rowind_path: str, values_path: str, shape, nnz, max_col_nnz, rowind, values):
@@ -194,8 +196,7 @@ def write_ell_text(rowind_path: str, values_path: str, shape, nnz, max_col_nnz, 
         for col in np.asarray(rowind):
             f.write(" ".join(map(str, col.tolist())) + "\n")
     with open(values_path, "w") as f:
-        for col in np.asarray(values):
-            f.write(" ".join(repr(float(v)) for v in col) + "\n")
+        np.savetxt(f, np.asarray(values), fmt="%.9g")
 
 
 def write_ell_rowmajor_text(colind_path: str, values_path: str, shape, nnz, max_row_nnz, colind, values):
@@ -208,8 +209,7 @@ def write_ell_rowmajor_text(colind_path: str, values_path: str, shape, nnz, max_
         for row in np.asarray(colind):
             f.write(" ".join(map(str, row.tolist())) + "\n")
     with open(values_path, "w") as f:
-        for row in np.asarray(values):
-            f.write(" ".join(repr(float(v)) for v in row) + "\n")
+        np.savetxt(f, np.asarray(values), fmt="%.9g")
 
 
 def write_dense_text(path: str, dense: np.ndarray):
@@ -218,5 +218,4 @@ def write_dense_text(path: str, dense: np.ndarray):
     dense = np.asarray(dense)
     with open(path, "w") as f:
         f.write(f"{dense.shape[0]} {dense.shape[1]} {int(np.count_nonzero(dense))}\n")
-        for row in dense:
-            f.write(" ".join(repr(float(v)) for v in row) + "\n")
+        np.savetxt(f, dense, fmt="%.9g")
