@@ -159,3 +159,14 @@ def test_runner_device_fault_aborts_engine(monkeypatch, small):
     assert len(fault) == 1 and fault[0]["kernelName"] == "boom"
     assert not any(r.get("kernelName") == "never" for r in records)
     assert not any(r.get("kernelType") == "-1" for r in records)
+
+
+def test_autotune_picks_and_caches(small):
+    from tpuspmm.engine import autotune
+
+    a, b, ref = small
+    ranking = autotune.tune(a, b, iters=2)
+    assert ranking, "no variant tuned"
+    assert hasattr(a, "_tune_cache") and a._tune_cache
+    out = np.asarray(tpuspmm.spmm(a, b, method="tuned"))
+    assert allclose(out, ref, 1e-2, 1e-3)

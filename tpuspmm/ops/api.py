@@ -39,6 +39,10 @@ def spmm(a, b, method: str = "auto"):
         from tpuspmm.kernels import dispatch
 
         return dispatch.spmm_pallas(a, b)
+    if method == "tuned":
+        from tpuspmm.engine.autotune import spmm_tuned
+
+        return spmm_tuned(a, b)
     raise ValueError(f"unknown method {method!r}")
 
 
