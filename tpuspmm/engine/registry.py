@@ -192,6 +192,9 @@ def build_engines() -> Dict[str, Engine]:
                               "atomic-free scatter via segment-sum (≙ K5 atomicAdd, spmm_coo_k1.cu:8-27)"),
                 KernelVariant(2, "pallas_tile_mxu", _tile,
                               "tile-sparse MXU kernel over row-sorted triplets"),
+                KernelVariant(3, "pallas_c_resident", _cres,
+                              "C resident in VMEM, k-major panels (large-K shapes)",
+                              admissible=_cres_ok),
             ],
         ),
         "bsr": Engine(
@@ -212,6 +215,9 @@ def build_engines() -> Dict[str, Engine]:
                               "column-slot scatter via segment-sum (≙ K7/K8 atomicAdd scatter, spmm_ell_k1.cu:11-35)"),
                 KernelVariant(2, "pallas_tile_mxu", _tile,
                               "tile-sparse MXU kernel over ELL slots"),
+                KernelVariant(3, "pallas_c_resident", _cres,
+                              "C resident in VMEM, k-major panels (large-K shapes)",
+                              admissible=_cres_ok),
             ],
         ),
     }
