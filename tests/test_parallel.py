@@ -161,3 +161,15 @@ def test_kshard_uneven():
     mesh = make_mesh((8,), ("rows",))
     out = np.asarray(spmm_kshard(a, b, mesh))
     assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_ring_2d_cols_axis(problem):
+    """Ring over "rows" with B/C column-sharded over "cols" — the
+    ICI-aligned 2-D layout."""
+    from tpuspmm.parallel import spmm_ring
+
+    a, b, ref = problem
+    mesh = make_mesh((4, 2))
+    out = np.asarray(spmm_ring(a, b, mesh, cols_axis="cols"))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, 1e-2, 1e-3)

@@ -212,6 +212,7 @@ def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
 # ---------------------------------------------------------------------------
 
 def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
+              cols_axis: Optional[str] = None,
               buckets: Optional[KBucketedTriplets] = None):
     """C = A @ B with B sharded along K; panels ride the ICI ring.
 
@@ -228,13 +229,27 @@ def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
     m_local, k_local = buckets.m_local, buckets.k_local
     b_padded = pad_dense_rows(b, k_local * n_dev)
     n = b_padded.shape[1]
+    # optional second mesh axis: B (and C) column-sharded; the ring then
+    # runs independently inside each column group, all hops on ICI
+    if cols_axis is not None:
+        n_cols = mesh.shape[cols_axis]
+        n_pad = -(-n // n_cols) * n_cols
+        if n_pad != n:
+            b_padded = np.pad(b_padded, ((0, 0), (0, n_pad - n)))
+        b_spec = P(axis, cols_axis)
+        out_spec = P(axis, cols_axis)
+        vary_axes = (axis, cols_axis)
+    else:
+        b_spec = P(axis)
+        out_spec = P(axis)
+        vary_axes = (axis,)
 
     shard = functools.partial(_put, mesh)
     args = (
         shard(buckets.rows, P(axis)),
         shard(buckets.cols, P(axis)),
         shard(buckets.vals, P(axis)),
-        shard(b_padded, P(axis)),
+        shard(b_padded, b_spec),
     )
     perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
 
@@ -242,8 +257,9 @@ def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
         rows, cols, vals = rows[0], cols[0], vals[0]  # (S, E)
         idx = jax.lax.axis_index(axis)
         # the accumulator joins a carry with mesh-varying b_panel
-        acc0 = jax.lax.pcast(jnp.zeros((m_local, n), jnp.float32),
-                             (axis,), to="varying")
+        acc0 = jax.lax.pcast(
+            jnp.zeros((m_local, b_panel.shape[1]), jnp.float32),
+            vary_axes, to="varying")
 
         def body(i, carry):
             b_cur, acc = carry
@@ -261,8 +277,8 @@ def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
 
     fn = jax.jit(jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
+        in_specs=(P(axis), P(axis), P(axis), b_spec),
+        out_specs=out_spec,
     ))
     out = fn(*args)
     return out[:m, : np.asarray(b).shape[1]]
