@@ -173,3 +173,39 @@ def test_discover_and_load(small32_dir):
     np.testing.assert_allclose(bsr.to_dense(), a.to_dense(), rtol=1e-5, atol=1e-6)
     ell = convert.load_sparse(small32_dir, "ell")
     np.testing.assert_allclose(ell.to_dense(), a.to_dense(), rtol=1e-5, atol=1e-6)
+
+
+class TestCSC:
+    """CSC container (the reference ships .csc files its binary ignores)."""
+
+    def test_reference_csc_matches_csr(self, small10_dir):
+        import os
+        from tpuspmm.formats import CSC, CSR
+
+        csc = CSC.from_file(os.path.join(small10_dir, "sparse.csc"))
+        csr = CSR.from_file(os.path.join(small10_dir, "sparse.csr"))
+        assert csc.shape == csr.shape and csc.nnz == csr.nnz
+        np.testing.assert_allclose(csc.to_dense(), csr.to_dense(), rtol=1e-6)
+
+    def test_round_trip(self, tmp_path):
+        from tpuspmm.formats import CSC
+
+        rng = np.random.default_rng(0)
+        dense = (rng.random((12, 18)) < 0.3) * rng.standard_normal((12, 18))
+        a = CSC.from_dense(dense.astype(np.float32))
+        p = str(tmp_path / "m.csc")
+        a.save(p)
+        back = CSC.from_file(p)
+        np.testing.assert_allclose(back.to_dense(), a.to_dense(), rtol=1e-6)
+
+    def test_spmm_via_conversion(self):
+        import tpuspmm
+        from tpuspmm.formats import CSC
+        from tpuspmm.ops import oracle
+
+        a_csr = tpuspmm.CSR.random(50, 70, 0.1, seed=1)
+        a = CSC.from_scipy(a_csr.to_scipy())
+        b = np.random.default_rng(0).standard_normal((70, 8)).astype(np.float32)
+        out = np.asarray(tpuspmm.spmm(a.to_csr(), b, method="xla"))
+        from tpuspmm.utils.compare import allclose
+        assert allclose(out, oracle.spmm_oracle(a_csr, b), 1e-2, 1e-3)

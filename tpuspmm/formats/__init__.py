@@ -10,6 +10,7 @@ array fields may be numpy (host) or jax.Array (device) — placement is just
 
 from tpuspmm.formats.dense import DenseMatrix, load_dense_text, save_dense_text
 from tpuspmm.formats.csr import CSR
+from tpuspmm.formats.csc import CSC
 from tpuspmm.formats.coo import COO
 from tpuspmm.formats.bsr import BSR
 from tpuspmm.formats.ell import ELL
@@ -18,6 +19,7 @@ from tpuspmm.formats import convert
 __all__ = [
     "DenseMatrix",
     "CSR",
+    "CSC",
     "COO",
     "BSR",
     "ELL",

@@ -16,6 +16,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from tpuspmm.formats.csr import CSR
+from tpuspmm.formats.csc import CSC
 from tpuspmm.formats.coo import COO
 from tpuspmm.formats.bsr import BSR
 from tpuspmm.formats.ell import ELL
@@ -27,7 +28,7 @@ def to_format(matrix, fmt: str, block_size=(4, 4)):
     """Convert any container (or scipy matrix / dense ndarray) to `fmt`."""
     import scipy.sparse
 
-    if isinstance(matrix, (CSR, COO, BSR, ELL)):
+    if isinstance(matrix, (CSR, CSC, COO, BSR, ELL)):
         sp = matrix.to_scipy() if hasattr(matrix, "to_scipy") else scipy.sparse.coo_matrix(matrix.to_dense())
     elif scipy.sparse.issparse(matrix):
         sp = matrix
@@ -37,6 +38,8 @@ def to_format(matrix, fmt: str, block_size=(4, 4)):
     fmt = fmt.lower()
     if fmt == "csr":
         return CSR.from_scipy(sp)
+    if fmt == "csc":
+        return CSC.from_scipy(sp)
     if fmt == "coo":
         return COO.from_scipy(sp)
     if fmt == "bsr":
@@ -50,7 +53,7 @@ def discover(data_dir: str) -> Dict[str, Optional[str]]:
     """Scan a data directory for the reference's file kinds
     (reference/src/main.cu:98-144)."""
     found: Dict[str, Optional[str]] = {
-        "csr": None, "coo": None, "bsr": None,
+        "csr": None, "csc": None, "coo": None, "bsr": None,
         "ell_rowind": None, "ell_values": None,
         "dense": None, "mtx": None, "dense_mtx": None,
     }
@@ -62,6 +65,8 @@ def discover(data_dir: str) -> Dict[str, Optional[str]]:
             found["ell_values"] = p
         elif name.endswith(".csr"):
             found["csr"] = p
+        elif name.endswith(".csc"):
+            found["csc"] = p
         elif name.endswith(".coo"):
             found["coo"] = p
         elif name.endswith(".bsr"):
@@ -83,6 +88,8 @@ def load_sparse(data_dir: str, fmt: str, block_size=(4, 4)):
     fmt = fmt.lower()
     if fmt == "csr" and f["csr"]:
         return CSR.from_file(f["csr"])
+    if fmt == "csc" and f["csc"]:
+        return CSC.from_file(f["csc"])
     if fmt == "coo" and f["coo"]:
         return COO.from_file(f["coo"])
     if fmt == "bsr" and f["bsr"]:
