@@ -93,6 +93,14 @@ def main(argv=None) -> int:
                       file=sys.stderr)
                 bench(f"pallas_tile_tk{tk}_c{ch}",
                       lambda bb, plan=plan: tile_spmm.spmm_tiles(plan, bb))
+    if "cres" not in skip:
+        from tpuspmm.kernels import cres_spmm
+
+        plan = plan_from_container(a)
+        m_pad = plan.num_row_tiles * plan.tile_m
+        if cres_spmm.fits_vmem_out(m_pad, ((n + 127) // 128) * 128, plan.tile_k):
+            bench("pallas_c_resident",
+                  lambda bb: cres_spmm.spmm_cres(plan, bb))
     if "densify" not in skip and a.shape[0] * a.shape[1] * 4 <= (1 << 30):
         coo = a.to_coo()
         r_d, c_d, v_d = (jnp.asarray(np.asarray(coo.rows)),

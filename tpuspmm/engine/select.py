@@ -63,13 +63,20 @@ def analyze(a) -> SparsityStats:
     )
 
 
-def select_format(a) -> Tuple[str, str]:
+def select_format(a, n_width: int = 256) -> Tuple[str, str]:
     """Return (format, kernel_name) recommendation for this matrix."""
+    from tpuspmm.kernels.cres_spmm import fits_vmem_out
+
     stats = analyze(a)
     if stats.block_fill_8x128 > 0.5:
         return "bsr", "pallas_block_stream"
     # tile-sparse pays off when each visited tile carries enough nnz
     if stats.tile_occupancy > 0.25 or stats.density > 0.02:
+        m_pad = -(-stats.shape[0] // 128) * 128
+        n_pad = -(-n_width // 128) * 128
+        if fits_vmem_out(m_pad, n_pad, 128):
+            # output fits VMEM → k-major C-resident beats tile streaming
+            return "csr", "pallas_c_resident"
         return "csr", "pallas_tile_mxu"
     if stats.row_nnz_cv < 0.5 and stats.row_nnz_max <= 4 * max(stats.row_nnz_mean, 1.0):
         return "ell", "xla_segment_sum"

@@ -26,10 +26,12 @@ from tpuspmm.kernels import tile_spmm, bsr_spmm, csr_vmem, cres_spmm
 from tpuspmm.kernels.common import round_up
 
 # fitted on v5e (see module docstring); conservative so CPU/interpret tests
-# exercise every path
+# exercise every path.  Tile/cres vs gather crossover measured at ~40
+# nnz/chunk: large_25605 (70/chunk) cres 0.47 ms vs gather 1.3 ms;
+# large_21074 (32/chunk) gather 1.32 ms vs cres 1.47 ms.
 DENSIFY_MAX_BYTES = 128 * 1024 * 1024
 DENSIFY_MIN_DENSITY = 0.004
-TILE_MIN_NNZ_PER_CHUNK = 24.0
+TILE_MIN_NNZ_PER_CHUNK = 40.0
 
 
 def _spmm_xla_any(a, b):
