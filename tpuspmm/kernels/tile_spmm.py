@@ -135,6 +135,6 @@ def spmm_tiles(plan: TilePlan, b, tile_n: Optional[int] = None, interpret=None):
 
 
 def spmm_tile_sparse(a, b, tile_m=128, tile_k=128, chunk=128, tile_n=None, interpret=None):
-    """Container-level entry: preprocess + kernel (plan not cached)."""
+    """Container-level entry: plan built (and cached on the container) + kernel."""
     plan = plan_from_container(a, tile_m=tile_m, tile_k=tile_k, chunk=chunk)
     return spmm_tiles(plan, jnp.asarray(b), tile_n=tile_n, interpret=interpret)

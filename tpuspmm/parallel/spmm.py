@@ -1,6 +1,6 @@
 """Distributed SpMM schedules over a device mesh.
 
-Three schedules, in increasing communication sophistication:
+Schedules, in increasing communication sophistication:
 
 - ``spmm_row_sharded`` — A row-sharded over ``"rows"``, B replicated.
   Zero collectives in the forward pass; each chip runs the single-chip
