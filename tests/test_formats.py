@@ -209,3 +209,18 @@ class TestCSC:
         out = np.asarray(tpuspmm.spmm(a.to_csr(), b, method="xla"))
         from tpuspmm.utils.compare import allclose
         assert allclose(out, oracle.spmm_oracle(a_csr, b), 1e-2, 1e-3)
+
+    def test_csc_direct_spmm_paths(self):
+        """CSC must work through spmm/dispatch without manual conversion."""
+        import tpuspmm
+        from tpuspmm.formats import CSC
+        from tpuspmm.kernels import dispatch
+        from tpuspmm.ops import oracle
+        from tpuspmm.utils.compare import allclose
+
+        a_csr = tpuspmm.CSR.random(60, 90, 0.1, seed=2)
+        a = CSC.from_scipy(a_csr.to_scipy())
+        b = np.random.default_rng(1).standard_normal((90, 16)).astype(np.float32)
+        ref = oracle.spmm_oracle(a_csr, b)
+        assert allclose(np.asarray(tpuspmm.spmm(a, b, method="xla")), ref, 1e-2, 1e-3)
+        assert allclose(np.asarray(dispatch.spmm_pallas(a, b, interpret=True)), ref, 1e-2, 1e-3)

@@ -227,6 +227,8 @@ def plan_from_container(a, tile_m=128, tile_k=128, chunk=128) -> TilePlan:
         coo = a.to_coo()
     elif isinstance(a, BSR):
         coo = a.to_csr().to_coo()
+    elif hasattr(a, "to_coo"):
+        coo = a.to_coo()
     else:
         raise TypeError(type(a))
     plan = build_tile_plan(

@@ -45,6 +45,8 @@ def _spmm_xla_any(a, b):
         return xla.spmm_bsr_xla(a, b)
     if isinstance(a, ELL):
         return xla.spmm_ell_xla(a, b)
+    if hasattr(a, "to_csr"):
+        return xla.spmm_csr_xla(a.to_csr(), b)
     raise TypeError(type(a))
 
 
