@@ -80,6 +80,8 @@ def spmm_oracle(a, b: np.ndarray) -> np.ndarray:
         return spmm_bsr_oracle(a, b)
     if isinstance(a, ELL):
         return spmm_ell_oracle(a, b)
+    if hasattr(a, "to_csr"):  # CSC and future formats
+        return spmm_csr_oracle(a.to_csr(), b)
     raise TypeError(f"unsupported container {type(a)}")
 
 
