@@ -170,3 +170,26 @@ def test_autotune_picks_and_caches(small):
     assert hasattr(a, "_tune_cache") and a._tune_cache
     out = np.asarray(tpuspmm.spmm(a, b, method="tuned"))
     assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_auto_spmm_wide_b_does_not_crash():
+    """Regression: select_format assumed width 256; a wide B made the
+    C-resident recommendation inadmissible and raised instead of falling
+    back."""
+    a = CSR.random(512, 512, 0.05, seed=9)
+    b = np.random.default_rng(4).standard_normal((512, 4096)).astype(np.float32)
+    out, fmt, kernel = select.auto_spmm(a, b)
+    assert allclose(np.asarray(out), oracle.spmm_oracle(a, b), 1e-2, 1e-3)
+
+
+def test_csc_vendor_and_tuned_paths():
+    """Regression: CSC crashed through method='vendor' (TypeError) and
+    method='tuned' (KeyError 'csc')."""
+    from tpuspmm.formats import CSC
+
+    a_csr = CSR.random(80, 120, 0.1, seed=11)
+    a = CSC.from_scipy(a_csr.to_scipy())
+    b = np.random.default_rng(5).standard_normal((120, 16)).astype(np.float32)
+    ref = oracle.spmm_oracle(a_csr, b)
+    assert allclose(np.asarray(tpuspmm.spmm(a, b, method="vendor")), ref, 1e-2, 1e-3)
+    assert allclose(np.asarray(tpuspmm.spmm(a, b, method="tuned")), ref, 1e-2, 1e-3)

@@ -173,3 +173,16 @@ def test_ring_2d_cols_axis(problem):
     out = np.asarray(spmm_ring(a, b, mesh, cols_axis="cols"))
     assert out.shape == ref.shape
     assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_2d_mesh_wide_b_not_multiple_of_tile():
+    """Regression: B width giving per-device n_local=640 (not a multiple
+    of the 512 column tile) used to leave columns 512+ unwritten (NaN)."""
+    rng = np.random.default_rng(17)
+    a = CSR.random(96, 128, 0.1, seed=6)
+    b = rng.standard_normal((128, 1280)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    mesh = make_mesh((4, 2))
+    out = np.asarray(spmm_2d(a, b, mesh))
+    assert not np.isnan(out).any()
+    assert allclose(out, ref, 1e-2, 1e-3)

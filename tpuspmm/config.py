@@ -34,10 +34,12 @@ class Config:
     # Output column tile (N dimension); B panels of shape (tile_k, tile_n).
     tile_n: int = 512
 
-    # VMEM budget used by the staged-B kernel's admission heuristic — the
-    # TPU analogue of the reference K4 shared-memory fit check
-    # (reference/src/spmm/csr/spmm_csr_k4.cu:91-101, MAXSIZE smem budget :8).
-    vmem_budget_bytes: int = 96 * 1024 * 1024
+    # VMEM budget for the residency kernels' admission heuristics (staged-B
+    # and C-resident) — the TPU analogue of the reference K4 shared-memory
+    # fit check (reference/src/spmm/csr/spmm_csr_k4.cu:91-101, MAXSIZE smem
+    # budget :8).  v5e has ~16 MiB of VMEM per core; half is left for
+    # pipeline double-buffering and scratch.
+    vmem_budget_bytes: int = 8 * 1024 * 1024
 
     # Dtypes
     value_dtype: str = "float32"

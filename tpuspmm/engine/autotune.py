@@ -29,7 +29,7 @@ class TuneResult:
 
 
 def _tune_key(b) -> tuple:
-    return ("tuned", int(np.asarray(b).shape[1]))
+    return ("tuned", int(b.shape[1]))
 
 
 def tune(a, b, iters: int = 8, config=None, verbose: bool = False) -> List[TuneResult]:
@@ -42,8 +42,12 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False) -> List[TuneR
     from tpuspmm.utils.timing import device_time_ms
 
     config = config or default_config()
+    from tpuspmm.engine.registry import FORMATS
+
+    if a.format_name not in FORMATS:  # e.g. CSC → tune through CSR
+        a = a.to_csr()
     engine = get_engine(a.format_name)
-    b_dev = jnp.asarray(np.asarray(b, dtype=np.float32))
+    b_dev = jnp.asarray(b, dtype=jnp.float32)
     results: List[TuneResult] = []
     for variant in engine.variants:
         if variant.admissible is not None and not variant.admissible(a, b_dev, config):
@@ -81,6 +85,10 @@ def spmm_tuned(a, b, config=None):
     from tpuspmm.kernels import dispatch
 
     config = config or default_config()
+    from tpuspmm.engine.registry import FORMATS
+
+    if a.format_name not in FORMATS:
+        a = a.to_csr()
     cache = getattr(a, "_tune_cache", None) or {}
     ranking = cache.get(_tune_key(b))
     if ranking is None:

@@ -86,8 +86,12 @@ def _tile(a, b, config):
 
 def _staged(a, b, config):
     from tpuspmm.kernels import csr_vmem
+    from tpuspmm.formats.tiles import plan_from_container
 
-    return csr_vmem.spmm_staged(a, b, interpret=config.interpret)
+    plan = plan_from_container(a, tile_m=config.tile_m, tile_k=config.tile_k,
+                               chunk=config.chunk_nnz)
+    return csr_vmem.spmm_staged(plan, b, interpret=config.interpret,
+                                budget_bytes=config.vmem_budget_bytes)
 
 
 def _staged_ok(a, b, config):
@@ -102,7 +106,9 @@ def _staged_ok(a, b, config):
     plan = plan_from_container(a, tile_m=config.tile_m, tile_k=config.tile_k,
                                chunk=config.chunk_nnz)
     chunk_bytes = plan.num_chunks * plan.chunk * 12
-    return csr_vmem.fits_vmem(k_pad, n_pad, config.tile_m, chunk_bytes=chunk_bytes)
+    return csr_vmem.fits_vmem(k_pad, n_pad, config.tile_m,
+                              budget_bytes=config.vmem_budget_bytes,
+                              chunk_bytes=chunk_bytes)
 
 
 def _densify_matmul(a, b, config):
@@ -123,8 +129,12 @@ def _densify_ok(a, b, config):
 
 def _cres(a, b, config):
     from tpuspmm.kernels import cres_spmm
+    from tpuspmm.formats.tiles import plan_from_container
 
-    return cres_spmm.spmm_cres(a, b, interpret=config.interpret)
+    plan = plan_from_container(a, tile_m=config.tile_m, tile_k=config.tile_k,
+                               chunk=config.chunk_nnz)
+    return cres_spmm.spmm_cres(plan, b, interpret=config.interpret,
+                               budget_bytes=config.vmem_budget_bytes)
 
 
 def _cres_ok(a, b, config):
@@ -133,7 +143,8 @@ def _cres_ok(a, b, config):
 
     m_pad = round_up(a.shape[0], config.tile_m)
     n_pad = round_up(b.shape[1], 128)
-    return cres_spmm.fits_vmem_out(m_pad, n_pad, config.tile_k)
+    return cres_spmm.fits_vmem_out(m_pad, n_pad, config.tile_k,
+                                   budget_bytes=config.vmem_budget_bytes)
 
 
 def _coo_xla(a, b, config):

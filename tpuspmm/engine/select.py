@@ -85,14 +85,23 @@ def select_format(a, n_width: int = 256) -> Tuple[str, str]:
 
 def auto_spmm(a, b, config=None):
     """Select and run: the engine-of-engines entry point."""
+    import numpy as _np
+
     from tpuspmm.formats import convert
     from tpuspmm.engine.registry import get_engine
     from tpuspmm.config import default_config
 
     config = config or default_config()
-    fmt, kernel_name = select_format(a)
+    n_width = int(b.shape[1])
+    fmt, kernel_name = select_format(a, n_width=n_width)
     if a.format_name != fmt:
         a = convert.to_format(a, fmt)
     engine = get_engine(fmt)
     variant = next(v for v in engine.variants if v.name == kernel_name)
+    if variant.admissible is not None and not variant.admissible(a, b, config):
+        # recommendation inadmissible for this operand — fall back to the
+        # measured dispatch heuristic rather than crash
+        from tpuspmm.kernels import dispatch
+
+        return dispatch.spmm_pallas(a, b), fmt, "dispatch"
     return variant.fn(a, b, config), fmt, kernel_name

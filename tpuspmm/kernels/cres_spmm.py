@@ -156,9 +156,10 @@ def spmm_cres(a_or_plan, b, interpret=None, budget_bytes: int = 8 * 1024 * 1024)
     n_pad = round_up(n, 128)
     k_pad = plan.num_k_tiles * plan.tile_k
     m_pad = plan.num_row_tiles * plan.tile_m
-    assert fits_vmem_out(m_pad, n_pad, plan.tile_k, budget_bytes), (
-        f"output ({m_pad}x{n_pad}) exceeds the VMEM residency budget; use spmm_tiles"
-    )
+    if not fits_vmem_out(m_pad, n_pad, plan.tile_k, budget_bytes):
+        raise ValueError(
+            f"output ({m_pad}x{n_pad}) exceeds the VMEM residency budget; "
+            "use spmm_tiles")
     b_padded = pad_b(jnp.asarray(b), k_pad, n_pad)
     rt8, kt8, rows, cols, vals, nblocks = _kmajor_blocks(plan)
     out = _cres_spmm(

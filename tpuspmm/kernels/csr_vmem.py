@@ -91,9 +91,10 @@ def spmm_staged(a_or_plan, b, interpret=None, budget_bytes: int = 8 * 1024 * 102
     n_pad = round_up(n, 128)
     k_pad = plan.num_k_tiles * plan.tile_k
     chunk_bytes = plan.num_chunks * plan.chunk * 12
-    assert fits_vmem(k_pad, n_pad, plan.tile_m, budget_bytes, chunk_bytes), (
-        f"B ({k_pad}x{n_pad}) + chunks exceed the VMEM stage budget; use spmm_tiles"
-    )
+    if not fits_vmem(k_pad, n_pad, plan.tile_m, budget_bytes, chunk_bytes):
+        raise ValueError(
+            f"B ({k_pad}x{n_pad}) + chunks exceed the VMEM stage budget; "
+            "use spmm_tiles")
     b_padded = pad_b(jnp.asarray(b), k_pad, n_pad)
     start, end = plan.chunk_ranges()
     out = _staged_spmm(

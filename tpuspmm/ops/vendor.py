@@ -55,6 +55,8 @@ def to_bcoo(a) -> "jsparse.BCOO":
             coo = a.to_coo()
         elif isinstance(a, (BSR, ELL)):
             coo = a.to_csr().to_coo() if isinstance(a, BSR) else a.to_coo()
+        elif hasattr(a, "to_coo"):  # CSC and future formats
+            coo = a.to_coo()
         else:
             raise TypeError(type(a))
         idx = np.stack([np.asarray(coo.rows), np.asarray(coo.cols)], axis=1).astype(np.int32)

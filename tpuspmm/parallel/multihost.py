@@ -43,8 +43,17 @@ def initialize(coordinator_address: Optional[str] = None,
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
-        except Exception:
-            return False  # single-process environment
+        except Exception as e:
+            # Distinguishable failures (coordinator briefly unreachable on a
+            # real pod) must not silently degrade to divergent per-host
+            # sub-meshes — surface the reason.
+            import warnings
+
+            warnings.warn(
+                f"jax.distributed.initialize() failed ({type(e).__name__}: {e}); "
+                "continuing single-process. If this host is part of a pod, "
+                "pass coordinator_address explicitly.")
+            return False
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -168,9 +168,12 @@ def bucket_triplets(a, n_row_shards: int, n_k_shards: int,
                              m_local=m_local, k_local=k_local)
 
 
-def pad_dense_rows(b: np.ndarray, k_pad: int) -> np.ndarray:
-    """Zero-pad B's row (K) dimension to ``k_pad``."""
-    b = np.asarray(b, dtype=np.float32)
+def pad_dense_rows(b, k_pad: int):
+    """Zero-pad B's row (K) dimension to ``k_pad`` (device arrays stay on
+    device — no host round trip)."""
+    import jax.numpy as jnp
+
+    b = jnp.asarray(b, dtype=jnp.float32)
     if b.shape[0] == k_pad:
         return b
-    return np.pad(b, ((0, k_pad - b.shape[0]), (0, 0)))
+    return jnp.pad(b, ((0, k_pad - b.shape[0]), (0, 0)))

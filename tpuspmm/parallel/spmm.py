@@ -49,6 +49,45 @@ def _put(mesh: Mesh, x, spec: P):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
+def _divisor_tile_n(n_local: int, cap: int = 1024) -> int:
+    """Largest output-column tile that divides the per-device width (which
+    is always a multiple of 128) — a non-divisor silently leaves columns
+    beyond the last full tile unwritten."""
+    if n_local <= cap:
+        return n_local
+    for t in (1024, 512, 384, 256, 128):
+        if n_local % t == 0:
+            return t
+    return 128
+
+
+@functools.lru_cache(maxsize=64)
+def _row_sharded_callable(mesh, axis, local, m_local, **static):
+    """Build (once per mesh/geometry) the jitted shard_map for
+    spmm_row_sharded — rebuilding it per call forces a full retrace."""
+
+    def local_fn(rt, kt, first, rows, cols, vals, b_pad):
+        from tpuspmm.kernels.tile_spmm import _tile_spmm
+
+        if local == "tile":
+            out = _tile_spmm(rt[0], kt[0], first[0], rows[0], cols[0], vals[0],
+                             b_pad, **static)
+        else:
+            offs = rt[0].astype(jnp.int32) * static["tm"]
+            kofs = kt[0].astype(jnp.int32) * static["tk"]
+            gr = jnp.where(rows[0] < 0, -1, rows[0] + offs[:, None]).reshape(-1)
+            gc = (cols[0] + kofs[:, None]).reshape(-1)
+            out = spmm_triplets(gr, gc, vals[0].reshape(-1), b_pad,
+                                num_rows=m_local)
+        return out[:m_local]
+
+    return jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis), check_vma=False,
+    ))
+
+
 # ---------------------------------------------------------------------------
 # row-sharded, B replicated
 # ---------------------------------------------------------------------------
@@ -82,30 +121,11 @@ def spmm_row_sharded(a, b, mesh: Mesh, axis: str = "rows",
         shard(b_padded, P()),
     )
 
-    static = dict(tm=plan.tile_m, tk=plan.tile_k, chunk=plan.chunk,
-                  num_row_tiles=plan.num_row_tiles, num_k_tiles=plan.num_k_tiles,
-                  tile_n=tile_n, interpret=interp)
-    m_local = plan.m_local
-
-    def local_fn(rt, kt, first, rows, cols, vals, b_pad):
-        if local == "tile":
-            out = _tile_spmm(rt[0], kt[0], first[0], rows[0], cols[0], vals[0],
-                             b_pad, **static)
-        else:
-            offs = rt[0].astype(jnp.int32) * static["tm"]
-            kofs = kt[0].astype(jnp.int32) * static["tk"]
-            gr = jnp.where(rows[0] < 0, -1, rows[0] + offs[:, None]).reshape(-1)
-            gc = (cols[0] + kofs[:, None]).reshape(-1)
-            out = spmm_triplets(gr, gc, vals[0].reshape(-1), b_pad,
-                                num_rows=m_local)
-        return out[:m_local]
-
-    # check_vma=False: Pallas out_shapes carry no varying-mesh-axes info
-    fn = jax.jit(jax.shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=P(axis), check_vma=False,
-    ))
+    fn = _row_sharded_callable(
+        mesh, axis, local, plan.m_local,
+        tm=plan.tile_m, tk=plan.tile_k, chunk=plan.chunk,
+        num_row_tiles=plan.num_row_tiles, num_k_tiles=plan.num_k_tiles,
+        tile_n=tile_n, interpret=interp)
     out = fn(*args)
     return out[:m, :n]
 
@@ -128,7 +148,7 @@ def spmm_2d(a, b, mesh: Mesh, plan: Optional[RowShardedPlan] = None,
     b = np.asarray(b, dtype=np.float32)
     n = b.shape[1]
     n_local = round_up(-(-n // n_cols), 128)
-    tile_n = min(n_local, 512)
+    tile_n = _divisor_tile_n(n_local)
     n_pad = n_local * n_cols
     k_pad = plan.num_k_tiles * plan.tile_k
     b_padded = np.pad(b, ((0, k_pad - k), (0, n_pad - n)))
@@ -139,24 +159,30 @@ def spmm_2d(a, b, mesh: Mesh, plan: Optional[RowShardedPlan] = None,
         shard(plan.rows, P("rows")), shard(plan.cols, P("rows")), shard(plan.vals, P("rows")),
         shard(b_padded, P(None, "cols")),
     )
-    static = dict(tm=plan.tile_m, tk=plan.tile_k, chunk=plan.chunk,
-                  num_row_tiles=plan.num_row_tiles, num_k_tiles=plan.num_k_tiles,
-                  tile_n=tile_n, interpret=interp)
-    m_local = plan.m_local
+    fn = _spmm_2d_callable(
+        mesh, plan.m_local,
+        tm=plan.tile_m, tk=plan.tile_k, chunk=plan.chunk,
+        num_row_tiles=plan.num_row_tiles, num_k_tiles=plan.num_k_tiles,
+        tile_n=tile_n, interpret=interp)
+    out = fn(*args)
+    return out[:m, :n]
 
+
+@functools.lru_cache(maxsize=64)
+def _spmm_2d_callable(mesh, m_local, **static):
     def local_fn(rt, kt, first, rows, cols, vals, b_loc):
+        from tpuspmm.kernels.tile_spmm import _tile_spmm
+
         out = _tile_spmm(rt[0], kt[0], first[0], rows[0], cols[0], vals[0],
                          b_loc, **static)
         return out[:m_local]
 
-    fn = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P("rows"), P("rows"), P("rows"), P("rows"), P("rows"), P("rows"),
                   P(None, "cols")),
         out_specs=P("rows", "cols"), check_vma=False,
     ))
-    out = fn(*args)
-    return out[:m, :n]
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +201,7 @@ def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
     reduce-scatter of C per call, riding ICI.
     """
     n_dev = mesh.shape[axis]
+    n_orig = b.shape[1]
     if buckets is None:
         # single row shard, K bucketed: buckets.rows is (1, S, E)
         buckets = bucket_triplets(a, 1, n_dev, m_align=8 * n_dev)
@@ -182,7 +209,6 @@ def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
     m_pad = buckets.m_local  # aligned so the scatter splits evenly
     k_local = buckets.k_local
     b_padded = pad_dense_rows(b, k_local * n_dev)
-    n = b_padded.shape[1]
 
     shard = functools.partial(_put, mesh)
     args = (
@@ -191,20 +217,24 @@ def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
         shard(buckets.vals[0], P(axis)),
         shard(b_padded, P(axis)),
     )
+    fn = _kshard_callable(mesh, axis, m_pad)
+    out = fn(*args)
+    return out[:m, :n_orig]
 
+
+@functools.lru_cache(maxsize=64)
+def _kshard_callable(mesh, axis, m_pad):
     def local_fn(rows, cols, vals, b_panel):
         partial = spmm_triplets(rows[0], cols[0], vals[0], b_panel,
                                 num_rows=m_pad)
         return jax.lax.psum_scatter(partial, axis, scatter_dimension=0,
                                     tiled=True)
 
-    fn = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
     ))
-    out = fn(*args)
-    return out[:m, : np.asarray(b).shape[1]]
 
 
 # ---------------------------------------------------------------------------
@@ -223,6 +253,7 @@ def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
     slab.  Communication volume per chip: (n-1)/n of B, pipelined.
     """
     n_dev = mesh.shape[axis]
+    n_orig = b.shape[1]
     if buckets is None:
         buckets = bucket_triplets(a, n_dev, n_dev)
     m, k = buckets.shape
@@ -235,14 +266,10 @@ def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
         n_cols = mesh.shape[cols_axis]
         n_pad = -(-n // n_cols) * n_cols
         if n_pad != n:
-            b_padded = np.pad(b_padded, ((0, 0), (0, n_pad - n)))
+            b_padded = jnp.pad(b_padded, ((0, 0), (0, n_pad - n)))
         b_spec = P(axis, cols_axis)
-        out_spec = P(axis, cols_axis)
-        vary_axes = (axis, cols_axis)
     else:
         b_spec = P(axis)
-        out_spec = P(axis)
-        vary_axes = (axis,)
 
     shard = functools.partial(_put, mesh)
     args = (
@@ -251,7 +278,16 @@ def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
         shard(buckets.vals, P(axis)),
         shard(b_padded, b_spec),
     )
-    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+    fn = _ring_callable(mesh, axis, cols_axis, n_dev, m_local)
+    out = fn(*args)
+    return out[:m, :n_orig]
+
+
+@functools.lru_cache(maxsize=64)
+def _ring_callable(mesh, axis, cols_axis, n_dev, m_local):
+    perm = tuple((j, (j + 1) % n_dev) for j in range(n_dev))
+    vary_axes = (axis,) if cols_axis is None else (axis, cols_axis)
+    b_spec = P(axis) if cols_axis is None else P(axis, cols_axis)
 
     def local_fn(rows, cols, vals, b_panel):
         rows, cols, vals = rows[0], cols[0], vals[0]  # (S, E)
@@ -268,17 +304,15 @@ def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
             c = jnp.take(cols, src, axis=0)
             v = jnp.take(vals, src, axis=0)
             # the send depends only on b_cur — XLA overlaps it with compute
-            b_nxt = jax.lax.ppermute(b_cur, axis, perm)
+            b_nxt = jax.lax.ppermute(b_cur, axis, list(perm))
             acc = acc + spmm_triplets(r, c, v, b_cur, num_rows=m_local)
             return (b_nxt, acc)
 
         _, acc = jax.lax.fori_loop(0, n_dev, body, (b_panel, acc0))
         return acc
 
-    fn = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), b_spec),
-        out_specs=out_spec,
+        out_specs=b_spec if cols_axis is not None else P(axis),
     ))
-    out = fn(*args)
-    return out[:m, : np.asarray(b).shape[1]]
