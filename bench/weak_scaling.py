@@ -56,6 +56,7 @@ def main(argv=None) -> int:
 
     from tpuspmm.formats import convert
     from tpuspmm.parallel import make_mesh, spmm_row_sharded, spmm_ring
+    from tpuspmm.parallel.shard import bucket_triplets, shard_rows_tileplan
     from tpuspmm.utils.timing import time_fn
 
     ndev = len(jax.devices())
@@ -71,10 +72,14 @@ def main(argv=None) -> int:
     for n in counts:
         a = replicate_rows(base, n) if n > 1 else base
         mesh = make_mesh((n,), ("rows",))
+        # prebuild the host-side partition outside the timing loop — the
+        # steady state being measured is device execution, not replanning
         if args.schedule == "ring":
-            fn = lambda: spmm_ring(a, b, mesh)
+            buckets = bucket_triplets(a, n, n)
+            fn = lambda: spmm_ring(a, b, mesh, buckets=buckets)
         else:
-            fn = lambda: spmm_row_sharded(a, b, mesh, local="xla")
+            plan = shard_rows_tileplan(a, n)
+            fn = lambda: spmm_row_sharded(a, b, mesh, local="xla", plan=plan)
         ms, _ = time_fn(fn, warmup=1, repeats=args.repeats)
         nnz_per_s = a.nnz / (ms / 1e3)
         if t1 is None:
