@@ -106,4 +106,9 @@ def device_time_ms(fn: Callable, b, iters: int = 16, repeats: int = 3) -> float:
     # min over chains: the tunnel and chip are shared, so the fastest
     # observation is the closest to the true device cost
     total = float(np.min(times))
-    return max(total - tunnel_rtt_ms(), 1e-6) / iters
+    device_ms = total - tunnel_rtt_ms()
+    if device_ms < 0.1 * tunnel_rtt_ms() and iters < 512:
+        # the whole chain is below the RTT noise floor — the subtraction
+        # is meaningless; lengthen the chain until the signal dominates
+        return device_time_ms(fn, b, iters=min(iters * 8, 512), repeats=repeats)
+    return max(device_ms, 1e-6) / iters
