@@ -29,7 +29,25 @@ class TuneResult:
 
 
 def _tune_key(b) -> tuple:
-    return ("tuned", int(b.shape[1]))
+    return ("tuned", int(np.shape(b)[1]))
+
+
+def _as_tunable(a):
+    """Containers outside the engine registry (e.g. CSC) tune through a
+    CSR view — cached on the original container so the tune cache persists
+    across calls instead of re-measuring every time."""
+    from tpuspmm.engine.registry import FORMATS
+
+    if a.format_name in FORMATS:
+        return a
+    cached = getattr(a, "_tunable_csr", None)
+    if cached is None:
+        cached = a.to_csr()
+        try:
+            object.__setattr__(a, "_tunable_csr", cached)
+        except Exception:
+            pass
+    return cached
 
 
 def tune(a, b, iters: int = 8, config=None, verbose: bool = False) -> List[TuneResult]:
@@ -42,10 +60,7 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False) -> List[TuneR
     from tpuspmm.utils.timing import device_time_ms
 
     config = config or default_config()
-    from tpuspmm.engine.registry import FORMATS
-
-    if a.format_name not in FORMATS:  # e.g. CSC → tune through CSR
-        a = a.to_csr()
+    a = _as_tunable(a)
     engine = get_engine(a.format_name)
     b_dev = jnp.asarray(b, dtype=jnp.float32)
     results: List[TuneResult] = []
@@ -85,10 +100,7 @@ def spmm_tuned(a, b, config=None):
     from tpuspmm.kernels import dispatch
 
     config = config or default_config()
-    from tpuspmm.engine.registry import FORMATS
-
-    if a.format_name not in FORMATS:
-        a = a.to_csr()
+    a = _as_tunable(a)
     cache = getattr(a, "_tune_cache", None) or {}
     ranking = cache.get(_tune_key(b))
     if ranking is None:

@@ -63,7 +63,8 @@ def analyze(a) -> SparsityStats:
     )
 
 
-def select_format(a, n_width: int = 256) -> Tuple[str, str]:
+def select_format(a, n_width: int = 256,
+                  vmem_budget_bytes: int = 8 * 1024 * 1024) -> Tuple[str, str]:
     """Return (format, kernel_name) recommendation for this matrix."""
     from tpuspmm.kernels.cres_spmm import fits_vmem_out
 
@@ -74,7 +75,7 @@ def select_format(a, n_width: int = 256) -> Tuple[str, str]:
     if stats.tile_occupancy > 0.25 or stats.density > 0.02:
         m_pad = -(-stats.shape[0] // 128) * 128
         n_pad = -(-n_width // 128) * 128
-        if fits_vmem_out(m_pad, n_pad, 128):
+        if fits_vmem_out(m_pad, n_pad, 128, budget_bytes=vmem_budget_bytes):
             # output fits VMEM → k-major C-resident beats tile streaming
             return "csr", "pallas_c_resident"
         return "csr", "pallas_tile_mxu"
@@ -85,23 +86,23 @@ def select_format(a, n_width: int = 256) -> Tuple[str, str]:
 
 def auto_spmm(a, b, config=None):
     """Select and run: the engine-of-engines entry point."""
-    import numpy as _np
-
     from tpuspmm.formats import convert
     from tpuspmm.engine.registry import get_engine
     from tpuspmm.config import default_config
 
     config = config or default_config()
-    n_width = int(b.shape[1])
-    fmt, kernel_name = select_format(a, n_width=n_width)
+    n_width = int(np.shape(b)[1])
+    fmt, kernel_name = select_format(a, n_width=n_width,
+                                     vmem_budget_bytes=config.vmem_budget_bytes)
     if a.format_name != fmt:
         a = convert.to_format(a, fmt)
     engine = get_engine(fmt)
     variant = next(v for v in engine.variants if v.name == kernel_name)
     if variant.admissible is not None and not variant.admissible(a, b, config):
         # recommendation inadmissible for this operand — fall back to the
-        # measured dispatch heuristic rather than crash
+        # measured dispatch heuristic rather than crash (dispatch honors the
+        # interpret flag; its VMEM gates use library defaults)
         from tpuspmm.kernels import dispatch
 
-        return dispatch.spmm_pallas(a, b), fmt, "dispatch"
+        return dispatch.spmm_pallas(a, b, interpret=config.interpret), fmt, "dispatch"
     return variant.fn(a, b, config), fmt, kernel_name

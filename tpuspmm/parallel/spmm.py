@@ -53,12 +53,14 @@ def _divisor_tile_n(n_local: int, cap: int = 1024) -> int:
     """Largest output-column tile that divides the per-device width (which
     is always a multiple of 128) — a non-divisor silently leaves columns
     beyond the last full tile unwritten."""
+    if n_local % 128 != 0:
+        raise ValueError(f"per-device width {n_local} must be a multiple of 128")
     if n_local <= cap:
         return n_local
     for t in (1024, 512, 384, 256, 128):
         if n_local % t == 0:
             return t
-    return 128
+    return 128  # unreachable: 128 always divides a multiple of 128
 
 
 @functools.lru_cache(maxsize=64)
@@ -100,8 +102,6 @@ def spmm_row_sharded(a, b, mesh: Mesh, axis: str = "rows",
     ``local`` selects the per-chip kernel: "tile" = Pallas tile-sparse MXU
     kernel, "xla" = gather + segment-sum.
     """
-    from tpuspmm.kernels.tile_spmm import _tile_spmm
-
     n_dev = mesh.shape[axis]
     interp = should_interpret(interpret)
     if plan is None:
@@ -109,8 +109,8 @@ def spmm_row_sharded(a, b, mesh: Mesh, axis: str = "rows",
     m, k = plan.shape
     b = np.asarray(b, dtype=np.float32)
     n = b.shape[1]
-    tile_n = min(round_up(n, 128), 512)
-    n_pad = round_up(n, tile_n)
+    n_pad = round_up(n, 128)
+    tile_n = _divisor_tile_n(n_pad)
     k_pad = plan.num_k_tiles * plan.tile_k
     b_padded = np.pad(b, ((0, k_pad - k), (0, n_pad - n)))
 
@@ -137,8 +137,6 @@ def spmm_row_sharded(a, b, mesh: Mesh, axis: str = "rows",
 def spmm_2d(a, b, mesh: Mesh, plan: Optional[RowShardedPlan] = None,
             interpret=None):
     """C = A @ B on a 2-D mesh: A sharded over "rows", B over "cols"."""
-    from tpuspmm.kernels.tile_spmm import _tile_spmm
-
     n_rows = mesh.shape["rows"]
     n_cols = mesh.shape["cols"]
     interp = should_interpret(interpret)
@@ -201,7 +199,7 @@ def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
     reduce-scatter of C per call, riding ICI.
     """
     n_dev = mesh.shape[axis]
-    n_orig = b.shape[1]
+    n_orig = int(np.shape(b)[1])
     if buckets is None:
         # single row shard, K bucketed: buckets.rows is (1, S, E)
         buckets = bucket_triplets(a, 1, n_dev, m_align=8 * n_dev)
@@ -253,7 +251,7 @@ def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
     slab.  Communication volume per chip: (n-1)/n of B, pipelined.
     """
     n_dev = mesh.shape[axis]
-    n_orig = b.shape[1]
+    n_orig = int(np.shape(b)[1])
     if buckets is None:
         buckets = bucket_triplets(a, n_dev, n_dev)
     m, k = buckets.shape
