@@ -104,5 +104,6 @@ def auto_spmm(a, b, config=None):
         # interpret flag; its VMEM gates use library defaults)
         from tpuspmm.kernels import dispatch
 
-        return dispatch.spmm_pallas(a, b, interpret=config.interpret), fmt, "dispatch"
+        return dispatch.spmm_pallas(a, b, interpret=config.interpret,
+                                    config=config), fmt, "dispatch"
     return variant.fn(a, b, config), fmt, kernel_name

@@ -65,8 +65,15 @@ def _densify(a, b):
                             num_rows=a.shape[0], num_cols=a.shape[1])
 
 
-def spmm_pallas(a, b, interpret=None):
-    """Best-strategy SpMM (the `method="pallas"` / auto path)."""
+def spmm_pallas(a, b, interpret=None, config=None):
+    """Best-strategy SpMM (the `method="pallas"` / auto path).
+
+    ``config`` (optional) supplies the VMEM budget and tile geometry for
+    the residency gates; library defaults otherwise."""
+    from tpuspmm.config import default_config
+
+    config = config or default_config()
+    budget = config.vmem_budget_bytes
     b = jnp.asarray(b)
     if isinstance(a, BSR) and bsr_spmm.mxu_friendly(a.block_size):
         return bsr_spmm.spmm_bsr_stream(a, b, interpret=interpret)
@@ -79,15 +86,19 @@ def spmm_pallas(a, b, interpret=None):
     if m * k * 4 <= DENSIFY_MAX_BYTES and a.sparsity >= DENSIFY_MIN_DENSITY:
         return _densify(a, b)
 
-    plan = tile_spmm.plan_from_container(a)
+    plan = tile_spmm.plan_from_container(
+        a, tile_m=config.tile_m, tile_k=config.tile_k, chunk=config.chunk_nnz)
     if a.nnz / max(plan.num_chunks, 1) >= TILE_MIN_NNZ_PER_CHUNK:
         n_pad = round_up(b.shape[1], 128)
         k_pad = plan.num_k_tiles * plan.tile_k
         m_pad = plan.num_row_tiles * plan.tile_m
         chunk_bytes = plan.num_chunks * plan.chunk * 12
-        if csr_vmem.fits_vmem(k_pad, n_pad, plan.tile_m, chunk_bytes=chunk_bytes):
-            return csr_vmem.spmm_staged(plan, b, interpret=interpret)
-        if cres_spmm.fits_vmem_out(m_pad, n_pad, plan.tile_k):
-            return cres_spmm.spmm_cres(plan, b, interpret=interpret)
+        if csr_vmem.fits_vmem(k_pad, n_pad, plan.tile_m, budget_bytes=budget,
+                              chunk_bytes=chunk_bytes):
+            return csr_vmem.spmm_staged(plan, b, interpret=interpret,
+                                        budget_bytes=budget)
+        if cres_spmm.fits_vmem_out(m_pad, n_pad, plan.tile_k, budget_bytes=budget):
+            return cres_spmm.spmm_cres(plan, b, interpret=interpret,
+                                       budget_bytes=budget)
         return tile_spmm.spmm_tiles(plan, b, interpret=interpret)
     return _spmm_xla_any(a, b)
