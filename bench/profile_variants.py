@@ -101,6 +101,16 @@ def main(argv=None) -> int:
         if cres_spmm.fits_vmem_out(m_pad, ((n + 127) // 128) * 128, plan.tile_k):
             bench("pallas_c_resident",
                   lambda bb: cres_spmm.spmm_cres(plan, bb))
+    if "staged" not in skip:
+        from tpuspmm.kernels import csr_vmem
+
+        plan = plan_from_container(a)
+        n_pad = ((n + 127) // 128) * 128
+        k_pad = plan.num_k_tiles * plan.tile_k
+        chunk_bytes = plan.num_chunks * plan.chunk * 12
+        if csr_vmem.fits_vmem(k_pad, n_pad, plan.tile_m, chunk_bytes=chunk_bytes):
+            bench("pallas_staged_b",
+                  lambda bb: csr_vmem.spmm_staged(plan, bb))
     if "densify" not in skip and a.shape[0] * a.shape[1] * 4 <= (1 << 30):
         coo = a.to_coo()
         r_d, c_d, v_d = (jnp.asarray(np.asarray(coo.rows)),
