@@ -193,3 +193,12 @@ def test_csc_vendor_and_tuned_paths():
     ref = oracle.spmm_oracle(a_csr, b)
     assert allclose(np.asarray(tpuspmm.spmm(a, b, method="vendor")), ref, 1e-2, 1e-3)
     assert allclose(np.asarray(tpuspmm.spmm(a, b, method="tuned")), ref, 1e-2, 1e-3)
+
+
+def test_select_format_width_sensitive():
+    """The C-resident recommendation must respect the actual B width."""
+    a = CSR.random(1000, 8000, 0.01, seed=12)  # occupancy-heavy, M fits VMEM
+    fmt_narrow, k_narrow = select.select_format(a, n_width=256)
+    fmt_wide, k_wide = select.select_format(a, n_width=16384)
+    if k_narrow == "pallas_c_resident":
+        assert k_wide != "pallas_c_resident"  # 1024x16384 output >> VMEM
