@@ -31,8 +31,10 @@ class Config:
     # nnz processed per grid step in the streaming kernels (the TPU analogue
     # of the reference's per-warp nnz chunking, spmm_csr_k2.cu:46-53).
     chunk_nnz: int = 128
-    # Output column tile (N dimension); B panels of shape (tile_k, tile_n).
-    tile_n: int = 512
+    # Cap on the output column tile (N dimension); the kernels derive the
+    # actual tile from the operand width (see tile_spmm.spmm_tiles), capped
+    # here so a (tile_k × tile_n) B panel stays a small fraction of VMEM.
+    tile_n_cap: int = 512
 
     # VMEM budget for the residency kernels' admission heuristics (staged-B
     # and C-resident) — the TPU analogue of the reference K4 shared-memory

@@ -77,10 +77,12 @@ def _csr_xla(a, b, config):
 
 def _tile(a, b, config):
     from tpuspmm.kernels import tile_spmm
+    from tpuspmm.kernels.common import round_up
 
+    tile_n = min(round_up(int(b.shape[1]), 128), config.tile_n_cap)
     return tile_spmm.spmm_tile_sparse(
         a, b, tile_m=config.tile_m, tile_k=config.tile_k,
-        chunk=config.chunk_nnz, interpret=config.interpret,
+        chunk=config.chunk_nnz, tile_n=tile_n, interpret=config.interpret,
     )
 
 
