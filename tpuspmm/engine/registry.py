@@ -79,7 +79,10 @@ def _tile(a, b, config):
     from tpuspmm.kernels import tile_spmm
     from tpuspmm.kernels.common import round_up
 
-    tile_n = min(round_up(int(b.shape[1]), 128), config.tile_n_cap)
+    # normalize the live cap to a lane-aligned multiple of 128 — a raw cap
+    # like 300 (or <128) would hand Pallas a misaligned BlockSpec
+    cap = max(128, config.tile_n_cap // 128 * 128)
+    tile_n = min(round_up(int(b.shape[1]), 128), cap)
     return tile_spmm.spmm_tile_sparse(
         a, b, tile_m=config.tile_m, tile_k=config.tile_k,
         chunk=config.chunk_nnz, tile_n=tile_n, interpret=config.interpret,
@@ -116,10 +119,15 @@ def _staged_ok(a, b, config):
 def _densify_matmul(a, b, config):
     from tpuspmm.ops import xla
 
-    coo = a if a.format_name == "coo" else (a.to_coo() if hasattr(a, "to_coo") else a.to_csr().to_coo())
+    coo = xla.coo_view(a)
+    rows, cols, vals = xla._cached_device(
+        coo, "triplets",
+        lambda: (jnp.asarray(np.asarray(coo.rows)),
+                 jnp.asarray(np.asarray(coo.cols)),
+                 jnp.asarray(np.asarray(coo.values))),
+    )
     return xla.spmm_densify(
-        jnp.asarray(np.asarray(coo.rows)), jnp.asarray(np.asarray(coo.cols)),
-        jnp.asarray(np.asarray(coo.values)), jnp.asarray(b),
+        rows, cols, vals, jnp.asarray(b),
         num_rows=a.shape[0], num_cols=a.shape[1],
     )
 

@@ -7,7 +7,7 @@ measured v5e device times (bench/profile_variants.py, chained timing):
 
   density ≥ 0.4% and dense A ≤ 128 MiB → on-device densify + MXU matmul
       (2048² @ 1% density: 0.17 ms vs 0.88 ms tile / 1.8 ms gather)
-  ≥ ~24 nnz per tile chunk              → Pallas tile-sparse MXU kernel
+  ≥ ~40 nnz per tile chunk              → Pallas tile-sparse MXU kernel
       (large_25605: 0.97 ms vs 1.5 ms gather / 1.5 ms vendor)
   otherwise                             → XLA gather + segment-sum
       (hyper-sparse irregular: tile padding overhead dominates)
@@ -53,8 +53,7 @@ def _spmm_xla_any(a, b):
 def _densify(a, b):
     from tpuspmm.ops import xla
 
-    coo = a if isinstance(a, COO) else (a.to_coo() if hasattr(a, "to_coo")
-                                        else a.to_csr().to_coo())
+    coo = xla.coo_view(a)
     rows, cols, vals = xla._cached_device(
         coo, "triplets",
         lambda: (jnp.asarray(np.asarray(coo.rows)),

@@ -102,6 +102,23 @@ def _cached_device(a, key: str, build):
     return cache[key]
 
 
+def coo_view(a):
+    """COO triplet view of any container, cached on the (immutable)
+    container — repeated auto-path calls must not re-pay the format
+    conversion or the H2D transfer of the triplets (the `_cached_device`
+    arrays attach to this view, so it has to be a stable object)."""
+    if a.format_name == "coo":
+        return a
+    cached = getattr(a, "_coo_view", None)
+    if cached is None:
+        cached = a.to_coo() if hasattr(a, "to_coo") else a.to_csr().to_coo()
+        try:
+            object.__setattr__(a, "_coo_view", cached)
+        except Exception:
+            pass
+    return cached
+
+
 def spmm_csr_xla(a, b):
     def build():
         rows = expand_indptr(np.asarray(a.indptr), a.nnz)

@@ -203,6 +203,16 @@ def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
     if buckets is None:
         # single row shard, K bucketed: buckets.rows is (1, S, E)
         buckets = bucket_triplets(a, 1, n_dev, m_align=8 * n_dev)
+    # ring-style buckets (n_row_shards > 1) would silently drop every row
+    # shard after the first, and the psum_scatter needs an even row split
+    if buckets.n_row_shards != 1:
+        raise ValueError(
+            f"spmm_kshard needs K-bucketed triplets (n_row_shards == 1), "
+            f"got {buckets.n_row_shards}; rebuild with bucket_triplets(a, 1, n_dev)")
+    if buckets.m_local % n_dev != 0:
+        raise ValueError(
+            f"m_local={buckets.m_local} not divisible by mesh axis size "
+            f"{n_dev}; rebuild buckets with m_align={8 * n_dev}")
     m, k = buckets.shape
     m_pad = buckets.m_local  # aligned so the scatter splits evenly
     k_local = buckets.k_local

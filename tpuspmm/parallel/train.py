@@ -21,6 +21,7 @@ segment-sum); the backward is the transpose-triplet SpMM
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
@@ -63,12 +64,13 @@ def make_train_state(a, n: int, mesh: Mesh, seed: int = 0) -> Dict:
     }
 
 
-def lsq_train_step(state: Dict, mesh: Mesh, lr: float = 1e-2):
-    """One jitted, fully-sharded SGD step.  Returns (new_state, loss)."""
-    meta = state["meta"]
-    m_local, k_pad = meta["m_local"], meta["k_pad"]
+@functools.lru_cache(maxsize=64)
+def _train_step_callable(mesh: Mesh, m_local: int, k_pad: int):
+    """Jitted shard_map step, cached per (mesh, geometry) — building it
+    inside lsq_train_step would retrace+recompile every step.  ``lr`` is a
+    traced argument so sweeping it costs no recompile."""
 
-    def local_step(rows, cols, vals, b, c_tgt):
+    def local_step(rows, cols, vals, b, c_tgt, lr):
         rows, cols, vals = rows[0], cols[0], vals[0]  # (E,)
         # forward: local C slab
         c_hat = spmm_triplets(rows, cols, vals, b, num_rows=m_local)
@@ -81,13 +83,20 @@ def lsq_train_step(state: Dict, mesh: Mesh, lr: float = 1e-2):
         db = jax.lax.psum(db, "rows")
         return b - lr * db, loss
 
-    fn = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("rows"), P("rows"), P("rows"), P(None, "cols"), P("rows", "cols")),
+        in_specs=(P("rows"), P("rows"), P("rows"), P(None, "cols"),
+                  P("rows", "cols"), P()),
         out_specs=(P(None, "cols"), P()),
     ))
+
+
+def lsq_train_step(state: Dict, mesh: Mesh, lr: float = 1e-2):
+    """One jitted, fully-sharded SGD step.  Returns (new_state, loss)."""
+    meta = state["meta"]
+    fn = _train_step_callable(mesh, meta["m_local"], meta["k_pad"])
     new_b, loss = fn(state["rows"], state["cols"], state["vals"],
-                     state["b"], state["c_target"])
+                     state["b"], state["c_target"], jnp.float32(lr))
     new_state = dict(state)
     new_state["b"] = new_b
     return new_state, loss
