@@ -22,7 +22,9 @@ import sys
 
 import numpy as np
 
-REF_DATA = "/root/reference/data"
+from tpuspmm.data import data_dir as _data_dir
+
+REF_DATA = "/root/reference/data"  # legacy fallback (resolver prefers repo data/)
 
 
 def _device_seconds(fn_of_b, b_dev, iters: int = 16) -> float:
@@ -35,7 +37,8 @@ def _device_seconds(fn_of_b, b_dev, iters: int = 16) -> float:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--data-dir", default=os.path.join(REF_DATA, "large_25605"))
+    p.add_argument("--data-dir", default=_data_dir("large_25605")
+                   or os.path.join(REF_DATA, "large_25605"))
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--repeats", type=int, default=20)
     args = p.parse_args(argv)
@@ -54,18 +57,34 @@ def main(argv=None) -> int:
     print(f"# {testcase}: A {a.shape} nnz={a.nnz}, B {b.shape}, "
           f"backend={jax.default_backend()}", file=sys.stderr)
 
-    # flagship: best-strategy dispatch (steady-state serving, plan cached).
-    # On this hyper-sparse headline matrix that is the gather+segment-sum
-    # path; the Pallas tile kernel covers denser regimes (see
-    # bench/profile_variants.py and tpuspmm/kernels/dispatch.py).
-    from tpuspmm.kernels import dispatch
+    # flagship: the autotuned winner (steady-state serving — one verified
+    # measurement pass ranks every admissible engine variant, the ranking
+    # persists in the on-disk tune cache, and the winner is served; on this
+    # headline matrix that is the split-precision C-resident Pallas kernel).
+    from tpuspmm.engine import autotune
+    from tpuspmm.engine.registry import get_engine
 
     b_dev = jnp.asarray(b)
-    out = dispatch.spmm_pallas(a, b_dev)
+    ranking = autotune.tune(a, b_dev, iters=args.repeats, verbose=False)
+    if ranking:
+        from tpuspmm.config import default_config
+
+        winner = get_engine(a.format_name).variant(ranking[0].number)
+        winner_name = winner.name
+        cfg = default_config()
+        serve = lambda bb: winner.fn(a, bb, cfg)
+    else:  # tuning unavailable (no admissible variants) — heuristic dispatch
+        from tpuspmm.kernels import dispatch
+
+        winner_name = "dispatch"
+        serve = lambda bb: dispatch.spmm_pallas(a, bb)
+    print(f"# serving: {winner_name} "
+          f"(ranking: {[(r.variant_name, r.ms) for r in ranking]})",
+          file=sys.stderr)
+    out = serve(b_dev)
     ref = oracle.spmm_scipy_oracle(a, b)
     correct = allclose(np.asarray(out), ref, 1e-2, 1e-3)
-    t_ours = _device_seconds(lambda bb: dispatch.spmm_pallas(a, bb), b_dev,
-                             iters=args.repeats)
+    t_ours = _device_seconds(serve, b_dev, iters=args.repeats)
 
     # vendor baseline: jax.experimental.sparse, best of BCSR/BCOO @ dense
     try:
@@ -94,6 +113,7 @@ def main(argv=None) -> int:
 
     record = {
         "metric": f"csr_spmm_gflops_{testcase}_w{n}",
+        "kernel": winner_name,
         "value": round(gflops, 3),
         "unit": "GFLOP/s",
         "vs_baseline": round(t_vendor / t_ours, 3) if np.isfinite(t_vendor) else None,

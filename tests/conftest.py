@@ -9,8 +9,13 @@ overridden through jax.config before any backend is initialized.
 
 import os
 import sys
+import tempfile
 
 os.environ.setdefault("TPUSPMM_INTERPRET", "1")
+# keep autotune's on-disk ranking cache out of the user cache (and out of
+# other test runs) — rankings measured under interpret mode are meaningless
+os.environ["TPUSPMM_TUNE_CACHE"] = os.path.join(
+    tempfile.mkdtemp(prefix="tpuspmm-test-"), "tune.json")
 
 import jax
 
@@ -21,8 +26,12 @@ import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF_DATA = "/root/reference/data"
 sys.path.insert(0, REPO)
+
+from tpuspmm.data import data_dir  # noqa: E402  (after sys.path insert)
+
+# kept for tests that exercise the reference-mount fallback explicitly
+REF_DATA = "/root/reference/data"
 
 
 @pytest.fixture(scope="session")
@@ -32,15 +41,15 @@ def rng():
 
 @pytest.fixture(scope="session")
 def small32_dir():
-    d = os.path.join(REF_DATA, "small_32x32")
-    if not os.path.isdir(d):
-        pytest.skip("reference data not available")
+    d = data_dir("small_32x32")
+    if d is None:
+        pytest.skip("corpus data not available")
     return d
 
 
 @pytest.fixture(scope="session")
 def small10_dir():
-    d = os.path.join(REF_DATA, "small_10x10")
-    if not os.path.isdir(d):
-        pytest.skip("reference data not available")
+    d = data_dir("small_10x10")
+    if d is None:
+        pytest.skip("corpus data not available")
     return d

@@ -172,6 +172,27 @@ def test_autotune_picks_and_caches(small):
     assert allclose(out, ref, 1e-2, 1e-3)
 
 
+def test_autotune_excludes_gate_failing_variants():
+    """verified_only variants (2-term bf16 splits) may be faster but are
+    not numerically guaranteed; tune() must drop any variant whose result
+    fails the oracle gate for this (matrix, operand)."""
+    from tpuspmm.engine import autotune
+
+    a = CSR.random(300, 511, 0.15, seed=811)  # U(-100,100) values: split2 fails
+    b = np.random.default_rng(7).uniform(-1, 1, (511, 96)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    from tpuspmm.config import default_config
+
+    cfg = default_config()
+    ranking = autotune.tune(a, b, iters=1, use_disk_cache=False)
+    assert ranking
+    engine = get_engine("csr")
+    for r in ranking:
+        out = np.asarray(engine.variant(r.number).fn(a, b, cfg))
+        assert allclose(out, ref, 1e-2, 1e-3), (
+            f"tune ranked a gate-failing variant: {r.variant_name}")
+
+
 def test_auto_spmm_wide_b_does_not_crash():
     """Regression: select_format assumed width 256; a wide B made the
     C-resident recommendation inadmissible and raised instead of falling

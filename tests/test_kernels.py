@@ -48,6 +48,11 @@ def test_all_variants_match_oracle(fmt, case):
     for variant in engine.variants:
         if variant.admissible is not None and not variant.admissible(a, b, CFG):
             continue
+        if variant.verified_only:
+            # not numerically guaranteed for every matrix (2-term splits);
+            # test_autotune_excludes_gate_failing_variants covers the
+            # contract that only verified serving paths may pick these
+            continue
         out = np.asarray(variant.fn(a, b, CFG))
         assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol), (
             f"{fmt} kernel {variant.number} ({variant.name}) mismatch: "

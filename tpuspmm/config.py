@@ -51,6 +51,18 @@ class Config:
     # passes the same rel 1e-2 / abs 1e-3 gate).
     accum_dtype: str = "float32"
 
+    # MXU precision strategy for the Pallas kernels:
+    #  - "split"   — gather-then-scatter with exact bf16 one-hot operands
+    #    and 3-term bf16 decomposition of the dense data (~2^-26 relative
+    #    error, at/below f32's own accumulation rounding; 3x fewer MXU
+    #    passes than "highest" — the robust default)
+    #  - "split2"  — 2-term decomposition (~2^-17 error): ~4.5x fewer
+    #    passes, but can breach the abs-1e-3 gate when values are O(100)
+    #    and outputs cancel — served via the verified autotune path
+    #  - "highest" — densify-then-matmul at Precision.HIGHEST (6 bf16
+    #    passes per matmul; the conservative reference-parity mode)
+    precision_mode: str = "split"
+
     # Force Pallas interpret mode (set automatically on CPU backends).
     interpret: Optional[bool] = None
 

@@ -4,7 +4,11 @@ The dispatch heuristics (tpuspmm/kernels/dispatch.py) are fitted averages;
 for a serving workload that will execute the same SpMM millions of times,
 it is worth paying one measurement pass per (matrix, width) to pick the
 true winner.  ``tune`` times every admissible engine variant with the
-chained device timer and caches the result on the container;
+chained device timer, verifies each result against the scipy oracle
+(rel 1e-2 / abs 1e-3, reference/include/utils.hpp:10-11 — only
+gate-passing variants may win), and caches the ranking on the container
+and in an on-disk JSON cache keyed by (matrix digest, width, chip) so
+serving processes skip the measurement pass entirely.
 ``spmm(a, b, method="tuned")`` serves the cached winner (tuning on first
 use).
 
@@ -16,6 +20,9 @@ stacks.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import json
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -50,25 +57,105 @@ def _as_tunable(a):
     return cached
 
 
-def tune(a, b, iters: int = 8, config=None, verbose: bool = False) -> List[TuneResult]:
+# ---------------------------------------------------------------------------
+# on-disk ranking cache (per matrix digest × width × chip)
+# ---------------------------------------------------------------------------
+
+def _disk_cache_path() -> str:
+    return os.environ.get(
+        "TPUSPMM_TUNE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tpuspmm", "tune.json"))
+
+
+def matrix_digest(a) -> str:
+    """Cheap stable fingerprint of a container's structure+values."""
+    h = hashlib.sha1()
+    h.update(repr((a.format_name, tuple(a.shape), int(a.nnz))).encode())
+    for name in ("indptr", "indices", "rows", "cols", "values", "blocks",
+                 "rowind"):
+        arr = getattr(a, name, None)
+        if arr is not None:
+            h.update(np.ascontiguousarray(np.asarray(arr)).tobytes()[:4096])
+    return h.hexdigest()[:16]
+
+
+def _disk_key(a, b) -> str:
+    from tpuspmm.engine.report import detect_chip
+
+    return f"{matrix_digest(a)}:{a.format_name}:n{int(np.shape(b)[1])}:{detect_chip()}"
+
+
+def _disk_load(key: str) -> Optional[List[TuneResult]]:
+    path = _disk_cache_path()
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        entry = data.get(key)
+        if entry is None:
+            return None
+        return [TuneResult(e["variant_name"], e["number"], e["ms"])
+                for e in entry]
+    except Exception:
+        return None
+
+
+def _disk_store(key: str, results: List[TuneResult]) -> None:
+    path = _disk_cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        data = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        data[key] = [dataclasses.asdict(r) for r in results]
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+    except Exception:
+        pass  # the disk cache is best-effort
+
+
+def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
+         verify: bool = True, use_disk_cache: bool = True) -> List[TuneResult]:
     """Measure every admissible variant of `a`'s format engine; cache and
-    return the ranking (fastest first)."""
+    return the ranking (fastest first).  With ``verify`` (default), a
+    variant only enters the ranking if its result passes the correctness
+    gate against the scipy oracle — the tuned path must never serve a
+    fast-but-wrong kernel."""
     import jax.numpy as jnp
 
     from tpuspmm.config import default_config
     from tpuspmm.engine.registry import get_engine
+    from tpuspmm.utils.compare import allclose
     from tpuspmm.utils.timing import device_time_ms
 
     config = config or default_config()
     a = _as_tunable(a)
+
+    dkey = _disk_key(a, b) if use_disk_cache else None
+    if dkey is not None:
+        cached = _disk_load(dkey)
+        if cached:
+            _attach(a, b, cached)
+            return cached
+
     engine = get_engine(a.format_name)
     b_dev = jnp.asarray(b, dtype=jnp.float32)
+    ref = None
+    if verify:
+        from tpuspmm.ops import oracle
+
+        ref = oracle.spmm_scipy_oracle(a, np.asarray(b_dev))
     results: List[TuneResult] = []
     for variant in engine.variants:
         if variant.admissible is not None and not variant.admissible(a, b_dev, config):
             continue
         try:
-            variant.fn(a, b_dev, config)  # warm caches/compile outside timing
+            out = variant.fn(a, b_dev, config)  # warm caches/compile
+            if ref is not None and not allclose(
+                    np.asarray(out), ref, config.rel_tol, config.abs_tol):
+                if verbose:
+                    print(f"# tune: {variant.name} failed the gate; excluded")
+                continue
             ms = device_time_ms(lambda bb, v=variant: v.fn(a, bb, config),
                                 b_dev, iters=iters)
         except Exception as e:
@@ -80,16 +167,22 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False) -> List[TuneR
             print(f"# tune: {variant.name}: {ms:.3f} ms")
     results.sort(key=lambda r: r.ms)
 
+    _attach(a, b, results)
+    if dkey is not None and results:
+        _disk_store(dkey, results)
+    return results
+
+
+def _attach(a, b, results: List[TuneResult]) -> None:
     cache = getattr(a, "_tune_cache", None)
     if cache is None:
         cache = {}
         try:
             object.__setattr__(a, "_tune_cache", cache)
         except Exception:
-            cache = None
-    if cache is not None and results:
+            return
+    if results:
         cache[_tune_key(b)] = results
-    return results
 
 
 def spmm_tuned(a, b, config=None):

@@ -33,6 +33,12 @@ class KernelVariant:
     # admission predicate; mirrors K4's bail-out heuristic
     # (reference/src/spmm/csr/spmm_csr_k4.cu:91-101)
     admissible: Optional[Callable] = None
+    # True for variants whose numerics are not guaranteed for every
+    # (matrix, operand) — e.g. 2-term bf16 splits.  They may only be
+    # served through a path that verifies the result against the oracle
+    # for the specific matrix (engine runner / autotune); heuristic
+    # dispatch must never pick them.
+    verified_only: bool = False
 
 
 @dataclasses.dataclass
@@ -86,6 +92,7 @@ def _tile(a, b, config):
     return tile_spmm.spmm_tile_sparse(
         a, b, tile_m=config.tile_m, tile_k=config.tile_k,
         chunk=config.chunk_nnz, tile_n=tile_n, interpret=config.interpret,
+        mode=config.precision_mode,
     )
 
 
@@ -96,7 +103,8 @@ def _staged(a, b, config):
     plan = plan_from_container(a, tile_m=config.tile_m, tile_k=config.tile_k,
                                chunk=config.chunk_nnz)
     return csr_vmem.spmm_staged(plan, b, interpret=config.interpret,
-                                budget_bytes=config.vmem_budget_bytes)
+                                budget_bytes=config.vmem_budget_bytes,
+                                mode=config.precision_mode)
 
 
 def _staged_ok(a, b, config):
@@ -144,7 +152,19 @@ def _cres(a, b, config):
     plan = plan_from_container(a, tile_m=config.tile_m, tile_k=config.tile_k,
                                chunk=config.chunk_nnz)
     return cres_spmm.spmm_cres(plan, b, interpret=config.interpret,
-                               budget_bytes=config.vmem_budget_bytes)
+                               budget_bytes=config.vmem_budget_bytes,
+                               mode=config.precision_mode)
+
+
+def _cres_split2(a, b, config):
+    from tpuspmm.kernels import cres_spmm
+    from tpuspmm.formats.tiles import plan_from_container
+
+    plan = plan_from_container(a, tile_m=config.tile_m, tile_k=config.tile_k,
+                               chunk=config.chunk_nnz)
+    return cres_spmm.spmm_cres(plan, b, interpret=config.interpret,
+                               budget_bytes=config.vmem_budget_bytes,
+                               mode="split2")
 
 
 def _cres_ok(a, b, config):
@@ -204,6 +224,10 @@ def build_engines() -> Dict[str, Engine]:
                 KernelVariant(5, "pallas_c_resident", _cres,
                               "whole output resident in VMEM, k-major B panels fetched once (large-K shapes)",
                               admissible=_cres_ok),
+                KernelVariant(6, "pallas_c_resident_split2", _cres_split2,
+                              "C-resident with 2-term bf16 splits (4 MXU passes/chunk, ~2^-17 error) — "
+                              "only served when it passes the per-matrix gate (autotune verifies)",
+                              admissible=_cres_ok, verified_only=True),
             ],
         ),
         "coo": Engine(

@@ -80,27 +80,36 @@ def run_engine(
 
     b_dev = jnp.asarray(b_host)
 
-    def timed_run(fn):
+    on_tpu = backend in ("tpu", "axon")
+
+    def timed_run(fn_of_b):
         """prolog = first call (preprocessing+compile+transfer); kernel =
-        median steady-state latency with a forced one-element fetch per
-        call (block_until_ready alone can return on enqueue on tunneled
-        backends — see tpuspmm/utils/timing.py); epilog = device→host."""
-        from tpuspmm.utils.timing import force
+        pure device time on TPU backends (chained applications inside one
+        jit — per-call wall time through the tunnel carries the ~RTT and
+        made round-1 sweep records useless for kernel comparison), or the
+        median per-call latency on CPU; epilog = device→host fetch.  The
+        RTT-inclusive per-call latency is reported separately."""
+        from tpuspmm.utils.timing import device_time_ms, force
 
         t0 = time.perf_counter()
-        out = force(fn())
+        out = force(fn_of_b(b_dev))
         prolog_ms = (time.perf_counter() - t0) * 1e3
         times = []
         for _ in range(max(1, repeats)):
             t1 = time.perf_counter()
-            out = force(fn())
+            out = force(fn_of_b(b_dev))
             times.append((time.perf_counter() - t1) * 1e3)
-        kernel_ms = float(np.median(times))
-        prolog_ms = max(0.0, prolog_ms - kernel_ms)
+        per_call_ms = float(np.median(times))
+        prolog_ms = max(0.0, prolog_ms - per_call_ms)
+        if on_tpu:
+            kernel_ms = device_time_ms(fn_of_b, b_dev,
+                                       iters=max(8, repeats))
+        else:
+            kernel_ms = per_call_ms
         t2 = time.perf_counter()
         host = np.asarray(out)
         epilog_ms = (time.perf_counter() - t2) * 1e3
-        return host, prolog_ms, kernel_ms, epilog_ms
+        return host, prolog_ms, kernel_ms, epilog_ms, per_call_ms
 
     # ---- kernels 1..N (engine.cpp:41-43) --------------------------------
     device_fault = False
@@ -115,14 +124,15 @@ def run_engine(
             records.append(rec)
             continue
         try:
-            host, prolog_ms, kernel_ms, epilog_ms = timed_run(
-                lambda v=variant: v.fn(a, b_dev, config)
+            host, prolog_ms, kernel_ms, epilog_ms, per_call_ms = timed_run(
+                lambda bb, v=variant: v.fn(a, bb, config)
             )
             ok = allclose(host, ref, rel_tol=config.rel_tol, abs_tol=config.abs_tol)
             rec = report_mod.make_record(
                 kernel_type=variant.number, kernel_name=variant.name,
                 correct=ok, prolog_ms=prolog_ms, kernel_ms=kernel_ms,
-                epilog_ms=epilog_ms, sequential_ms=seq_ms, **common,
+                epilog_ms=epilog_ms, sequential_ms=seq_ms,
+                extra={"perCallLatencyMs": round(per_call_ms, 4)}, **common,
             )
         except Exception as e:  # record failures instead of aborting the sweep
             rec = report_mod.make_record(
@@ -144,14 +154,16 @@ def run_engine(
         from tpuspmm.ops import vendor
 
         try:
-            host, prolog_ms, kernel_ms, epilog_ms = timed_run(
-                lambda: vendor.spmm_vendor(a, b_dev)
+            host, prolog_ms, kernel_ms, epilog_ms, per_call_ms = timed_run(
+                lambda bb: vendor.spmm_vendor(a, bb)
             )
             ok = allclose(host, ref, rel_tol=config.rel_tol, abs_tol=config.abs_tol)
             rec = report_mod.make_record(
                 kernel_type=-1, kernel_name="jax_sparse_bcoo",
                 correct=ok, prolog_ms=prolog_ms, kernel_ms=kernel_ms,
-                epilog_ms=epilog_ms, sequential_ms=seq_ms, **common,
+                epilog_ms=epilog_ms, sequential_ms=seq_ms,
+                extra={"perCallLatencyMs": round(per_call_ms, 4),
+                       "vendorLowering": vendor.last_lowering(a)}, **common,
             )
         except Exception as e:
             rec = report_mod.make_record(

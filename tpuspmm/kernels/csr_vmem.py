@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuspmm.kernels.common import round_up, should_interpret, pad_b
+from tpuspmm.kernels.common import (
+    round_up, should_interpret, pad_b, split_bf16, onehot_dot_split)
 from tpuspmm.formats.tiles import TilePlan, plan_from_container
 
 
@@ -34,7 +35,8 @@ def fits_vmem(
     return (b_bytes + 2 * out_bytes + chunk_bytes) <= budget_bytes
 
 
-def _kernel(kt_ref, start_ref, end_ref, rows_ref, cols_ref, vals_ref, b_ref, out_ref, *, tm, tk, chunk):
+def _kernel(kt_ref, start_ref, end_ref, rows_ref, cols_ref, vals_ref, b_ref,
+            out_ref, *, tm, tk, chunk, mode):
     rt = pl.program_id(0)
     n = out_ref.shape[1]
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (tm, chunk), 0)
@@ -44,11 +46,22 @@ def _kernel(kt_ref, start_ref, end_ref, rows_ref, cols_ref, vals_ref, b_ref, out
         rows = rows_ref[j, :]
         cols = cols_ref[j, :]
         vals = vals_ref[j, :]
+        b_panel = b_ref[pl.ds(kt_ref[j] * tk, tk), :]
+        if mode in ("split", "split2"):
+            # gather-then-scatter with exact bf16 one-hots and multi-term
+            # bf16 split data (see cres_spmm._kernel): 6 (split) or 4
+            # (split2) single-pass MXU matmuls per chunk vs 12 HIGHEST.
+            terms = 2 if mode == "split2" else 3
+            b_parts = split_bf16(b_panel, terms)
+            k_onehot = (cols[:, None] == k_iota).astype(jnp.bfloat16)
+            g = onehot_dot_split(k_onehot, b_parts)
+            v = g * vals[:, None]
+            r_onehot = (rows[None, :] == r_iota).astype(jnp.bfloat16)
+            return acc + onehot_dot_split(r_onehot, split_bf16(v, terms))
         r_onehot = (rows[None, :] == r_iota).astype(jnp.float32)
         k_onehot = (cols[:, None] == k_iota).astype(jnp.float32) * vals[:, None]
         a_tile = jnp.dot(r_onehot, k_onehot, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
-        b_panel = b_ref[pl.ds(kt_ref[j] * tk, tk), :]
         return acc + jnp.dot(a_tile, b_panel, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
 
@@ -58,9 +71,10 @@ def _kernel(kt_ref, start_ref, end_ref, rows_ref, cols_ref, vals_ref, b_ref, out
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tm", "tk", "chunk", "num_row_tiles", "interpret"),
+    static_argnames=("tm", "tk", "chunk", "num_row_tiles", "interpret", "mode"),
 )
-def _staged_spmm(kt, start, end, rows, cols, vals, b_padded, *, tm, tk, chunk, num_row_tiles, interpret):
+def _staged_spmm(kt, start, end, rows, cols, vals, b_padded, *, tm, tk, chunk,
+                 num_row_tiles, interpret, mode="split"):
     n_pad = b_padded.shape[1]
     num_chunks = rows.shape[0]
 
@@ -77,14 +91,15 @@ def _staged_spmm(kt, start, end, rows, cols, vals, b_padded, *, tm, tk, chunk, n
     )
 
     return pl.pallas_call(
-        functools.partial(_kernel, tm=tm, tk=tk, chunk=chunk),
+        functools.partial(_kernel, tm=tm, tk=tk, chunk=chunk, mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_row_tiles * tm, n_pad), jnp.float32),
         interpret=interpret,
     )(kt, start, end, rows, cols, vals, b_padded)
 
 
-def spmm_staged(a_or_plan, b, interpret=None, budget_bytes: int = 8 * 1024 * 1024):
+def spmm_staged(a_or_plan, b, interpret=None, budget_bytes: int = 8 * 1024 * 1024,
+                mode: str = "split"):
     plan = a_or_plan if isinstance(a_or_plan, TilePlan) else plan_from_container(a_or_plan)
     m, k = plan.shape
     n = b.shape[1]
@@ -103,5 +118,6 @@ def spmm_staged(a_or_plan, b, interpret=None, budget_bytes: int = 8 * 1024 * 102
         b_padded,
         tm=plan.tile_m, tk=plan.tile_k, chunk=plan.chunk,
         num_row_tiles=plan.num_row_tiles, interpret=should_interpret(interpret),
+        mode=mode,
     )
     return out[:m, :n]

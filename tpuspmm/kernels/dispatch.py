@@ -25,13 +25,47 @@ from tpuspmm.formats import CSR, COO, BSR, ELL
 from tpuspmm.kernels import tile_spmm, bsr_spmm, csr_vmem, cres_spmm
 from tpuspmm.kernels.common import round_up
 
-# fitted on v5e (see module docstring); conservative so CPU/interpret tests
-# exercise every path.  Tile/cres vs gather crossover measured at ~40
-# nnz/chunk: large_25605 (70/chunk) cres 0.47 ms vs gather 1.3 ms;
-# large_21074 (32/chunk) gather 1.32 ms vs cres 1.47 ms.
-DENSIFY_MAX_BYTES = 128 * 1024 * 1024
-DENSIFY_MIN_DENSITY = 0.004
-TILE_MIN_NNZ_PER_CHUNK = 40.0
+# Thresholds fitted per chip (VERDICT r1 item 7).  v5e numbers are measured
+# (see module docstring); conservative so CPU/interpret tests exercise every
+# path.  Tile/cres vs gather crossover measured at ~40 nnz/chunk on v5e:
+# large_25605 (70/chunk) cres 0.47 ms vs gather 1.3 ms; large_21074
+# (32/chunk) gather 1.32 ms vs cres 1.47 ms.  v5p/v4 entries scale the
+# crossover by the chip's compute:bandwidth ratio relative to v5e (the MXU
+# kernels win sooner where flops are cheaper relative to HBM) — refit when
+# that hardware is in the loop.
+_CHIP_THRESHOLDS = {
+    "v5e": {"densify_max_bytes": 128 * 1024 * 1024,
+            "densify_min_density": 0.004,
+            "tile_min_nnz_per_chunk": 40.0},
+    "v5p": {"densify_max_bytes": 256 * 1024 * 1024,
+            "densify_min_density": 0.003,
+            "tile_min_nnz_per_chunk": 32.0},
+    "v4": {"densify_max_bytes": 128 * 1024 * 1024,
+           "densify_min_density": 0.004,
+           "tile_min_nnz_per_chunk": 36.0},
+    "cpu": {"densify_max_bytes": 128 * 1024 * 1024,
+            "densify_min_density": 0.004,
+            "tile_min_nnz_per_chunk": 40.0},
+}
+
+_thresholds_cache = None
+
+
+def thresholds() -> dict:
+    """Dispatch thresholds for the detected chip (cached)."""
+    global _thresholds_cache
+    if _thresholds_cache is None:
+        from tpuspmm.engine.report import detect_chip
+
+        _thresholds_cache = _CHIP_THRESHOLDS.get(detect_chip(),
+                                                 _CHIP_THRESHOLDS["v5e"])
+    return _thresholds_cache
+
+
+# v5e values kept as module constants for direct reference/tests
+DENSIFY_MAX_BYTES = _CHIP_THRESHOLDS["v5e"]["densify_max_bytes"]
+DENSIFY_MIN_DENSITY = _CHIP_THRESHOLDS["v5e"]["densify_min_density"]
+TILE_MIN_NNZ_PER_CHUNK = _CHIP_THRESHOLDS["v5e"]["tile_min_nnz_per_chunk"]
 
 
 def _spmm_xla_any(a, b):
@@ -81,13 +115,15 @@ def spmm_pallas(a, b, interpret=None, config=None):
         if packed is not None:
             return bsr_spmm.spmm_bsr_stream(packed, b, interpret=interpret)
 
+    th = thresholds()
     m, k = a.shape
-    if m * k * 4 <= DENSIFY_MAX_BYTES and a.sparsity >= DENSIFY_MIN_DENSITY:
+    if (m * k * 4 <= th["densify_max_bytes"]
+            and a.sparsity >= th["densify_min_density"]):
         return _densify(a, b)
 
     plan = tile_spmm.plan_from_container(
         a, tile_m=config.tile_m, tile_k=config.tile_k, chunk=config.chunk_nnz)
-    if a.nnz / max(plan.num_chunks, 1) >= TILE_MIN_NNZ_PER_CHUNK:
+    if a.nnz / max(plan.num_chunks, 1) >= th["tile_min_nnz_per_chunk"]:
         n_pad = round_up(b.shape[1], 128)
         k_pad = plan.num_k_tiles * plan.tile_k
         m_pad = plan.num_row_tiles * plan.tile_m
@@ -95,9 +131,12 @@ def spmm_pallas(a, b, interpret=None, config=None):
         if csr_vmem.fits_vmem(k_pad, n_pad, plan.tile_m, budget_bytes=budget,
                               chunk_bytes=chunk_bytes):
             return csr_vmem.spmm_staged(plan, b, interpret=interpret,
-                                        budget_bytes=budget)
+                                        budget_bytes=budget,
+                                        mode=config.precision_mode)
         if cres_spmm.fits_vmem_out(m_pad, n_pad, plan.tile_k, budget_bytes=budget):
             return cres_spmm.spmm_cres(plan, b, interpret=interpret,
-                                       budget_bytes=budget)
-        return tile_spmm.spmm_tiles(plan, b, interpret=interpret)
+                                       budget_bytes=budget,
+                                       mode=config.precision_mode)
+        return tile_spmm.spmm_tiles(plan, b, interpret=interpret,
+                                    mode=config.precision_mode)
     return _spmm_xla_any(a, b)

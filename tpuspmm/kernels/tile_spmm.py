@@ -35,11 +35,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuspmm.kernels.common import round_up, should_interpret, pad_b
+from tpuspmm.kernels.common import (
+    round_up, should_interpret, pad_b, split_bf16, onehot_dot_split)
 from tpuspmm.formats.tiles import TilePlan, plan_from_container
 
 
-def _kernel(rt_ref, kt_ref, first_ref, rows_ref, cols_ref, vals_ref, b_ref, out_ref, *, tm, tk):
+def _kernel(rt_ref, kt_ref, first_ref, rows_ref, cols_ref, vals_ref, b_ref,
+            out_ref, *, tm, tk, mode):
     c = pl.program_id(1)
     # chunk payloads arrive in (8, E) sublane-aligned blocks; this chunk is
     # row c % 8 of its block (see tiles.py C_pad)
@@ -51,12 +53,24 @@ def _kernel(rt_ref, kt_ref, first_ref, rows_ref, cols_ref, vals_ref, b_ref, out_
 
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (tm, e), 0)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (e, tk), 1)
-    r_onehot = (rows[None, :] == r_iota).astype(jnp.float32)  # (TM, E)
-    k_onehot = (cols[:, None] == k_iota).astype(jnp.float32) * vals[:, None]  # (E, TK)
-    a_tile = jnp.dot(r_onehot, k_onehot, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    contrib = jnp.dot(a_tile, b_ref[...], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    if mode in ("split", "split2"):
+        # gather-then-scatter with exact bf16 one-hots and multi-term bf16
+        # split data (see cres_spmm._kernel): 6 (split) or 4 (split2)
+        # single-pass MXU matmuls per chunk vs 12 HIGHEST passes.
+        terms = 2 if mode == "split2" else 3
+        b_parts = split_bf16(b_ref[...], terms)
+        k_onehot = (cols[:, None] == k_iota).astype(jnp.bfloat16)
+        g = onehot_dot_split(k_onehot, b_parts)   # (E, TN): B rows
+        v = g * vals[:, None]
+        r_onehot = (rows[None, :] == r_iota).astype(jnp.bfloat16)
+        contrib = onehot_dot_split(r_onehot, split_bf16(v, terms))
+    else:
+        r_onehot = (rows[None, :] == r_iota).astype(jnp.float32)  # (TM, E)
+        k_onehot = (cols[:, None] == k_iota).astype(jnp.float32) * vals[:, None]  # (E, TK)
+        a_tile = jnp.dot(r_onehot, k_onehot, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        contrib = jnp.dot(a_tile, b_ref[...], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(first_ref[c] == 1)
     def _():
@@ -69,11 +83,13 @@ def _kernel(rt_ref, kt_ref, first_ref, rows_ref, cols_ref, vals_ref, b_ref, out_
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tm", "tk", "chunk", "num_row_tiles", "num_k_tiles", "tile_n", "interpret"),
+    static_argnames=("tm", "tk", "chunk", "num_row_tiles", "num_k_tiles",
+                     "tile_n", "interpret", "mode"),
 )
 def _tile_spmm(
     rt, kt, first, rows, cols, vals, b_padded,
     *, tm, tk, chunk, num_row_tiles, num_k_tiles, tile_n, interpret,
+    mode="split",
 ):
     num_chunks = rt.shape[0]
     n_pad = b_padded.shape[1]
@@ -97,7 +113,12 @@ def _tile_spmm(
         ),
     )
 
-    flops = 2 * num_chunks * (tm * chunk * tk + tm * tk * tile_n) * n_tiles
+    if mode in ("split", "split2"):
+        t = 2 if mode == "split2" else 3
+        flops = 2 * num_chunks * t * (chunk * tk * tile_n
+                                      + tm * chunk * tile_n) * n_tiles
+    else:
+        flops = 2 * num_chunks * 6 * (tm * chunk * tk + tm * tk * tile_n) * n_tiles
     bytes_accessed = (
         num_chunks * chunk * 12
         + num_chunks * tk * tile_n * 4 * n_tiles
@@ -105,7 +126,7 @@ def _tile_spmm(
     )
 
     return pl.pallas_call(
-        functools.partial(_kernel, tm=tm, tk=tk),
+        functools.partial(_kernel, tm=tm, tk=tk, mode=mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_row_tiles * tm, n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
@@ -113,7 +134,8 @@ def _tile_spmm(
     )(rt, kt, first, rows, cols, vals, b_padded)
 
 
-def spmm_tiles(plan: TilePlan, b, tile_n: Optional[int] = None, interpret=None):
+def spmm_tiles(plan: TilePlan, b, tile_n: Optional[int] = None, interpret=None,
+               mode: str = "split"):
     """SpMM from a prebuilt TilePlan.  Returns the (M, N) float32 result."""
     m, k = plan.shape
     n = b.shape[1]
@@ -129,12 +151,14 @@ def spmm_tiles(plan: TilePlan, b, tile_n: Optional[int] = None, interpret=None):
         b_padded,
         tm=plan.tile_m, tk=plan.tile_k, chunk=plan.chunk,
         num_row_tiles=plan.num_row_tiles, num_k_tiles=plan.num_k_tiles,
-        tile_n=tile_n, interpret=interp,
+        tile_n=tile_n, interpret=interp, mode=mode,
     )
     return out[:m, :n]
 
 
-def spmm_tile_sparse(a, b, tile_m=128, tile_k=128, chunk=128, tile_n=None, interpret=None):
+def spmm_tile_sparse(a, b, tile_m=128, tile_k=128, chunk=128, tile_n=None,
+                     interpret=None, mode: str = "split"):
     """Container-level entry: plan built (and cached on the container) + kernel."""
     plan = plan_from_container(a, tile_m=tile_m, tile_k=tile_k, chunk=chunk)
-    return spmm_tiles(plan, jnp.asarray(b), tile_n=tile_n, interpret=interpret)
+    return spmm_tiles(plan, jnp.asarray(b), tile_n=tile_n, interpret=interpret,
+                      mode=mode)

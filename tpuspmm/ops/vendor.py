@@ -12,11 +12,15 @@ by lowering to BCOO/BCSR.
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from jax.experimental import sparse as jsparse
+
+_bcsr_warned = False
 
 
 @jax.jit
@@ -80,16 +84,39 @@ def to_bcsr(a) -> "jsparse.BCSR":
     return _vendor_cached(a, "bcsr", build)
 
 
+def last_lowering(a) -> str:
+    """Which vendor lowering actually served the last spmm_vendor call for
+    this container ("bcsr" or "bcoo") — surfaced in engine records so a
+    silent BCSR regression can't quietly degrade the baseline."""
+    return getattr(a, "_vendor_lowering", "")
+
+
 def spmm_vendor(a, b):
     """Vendor-baseline SpMM (the -1 kernel).  CSR → BCSR when supported,
     everything else → BCOO (the reference likewise picks a per-format
     cuSPARSE algorithm)."""
     from tpuspmm.formats import CSR
 
+    def note(lowering: str):
+        try:
+            object.__setattr__(a, "_vendor_lowering", lowering)
+        except Exception:
+            pass
+
     b = jnp.asarray(b)
     if isinstance(a, CSR):
         try:
-            return _bcoo_spmm(to_bcsr(a), b)
-        except Exception:
-            pass  # BCSR matmul unsupported on this backend/version
-    return _bcoo_spmm(to_bcoo(a), b)
+            out = _bcoo_spmm(to_bcsr(a), b)
+            note("bcsr")
+            return out
+        except Exception as e:
+            global _bcsr_warned
+            if not _bcsr_warned:
+                _bcsr_warned = True
+                warnings.warn(
+                    f"vendor BCSR path failed ({type(e).__name__}: {e}); "
+                    "falling back to BCOO — baseline comparisons will use "
+                    "the BCOO lowering", RuntimeWarning)
+    out = _bcoo_spmm(to_bcoo(a), b)
+    note("bcoo")
+    return out
