@@ -20,7 +20,9 @@ import sys
 
 import numpy as np
 
-DEFAULT_ROOT = "/root/reference/data"
+from tpuspmm.data import data_root as _data_root
+
+DEFAULT_ROOT = _data_root() or "data"
 
 
 def main(argv=None) -> int:

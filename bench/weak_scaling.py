@@ -39,7 +39,8 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                    help="cpu → virtual multi-device mesh")
     p.add_argument("--devices", default="1,2,4,8")
-    p.add_argument("--base-dir", default="/root/reference/data/large_25605")
+    from tpuspmm.data import data_dir as _dd
+    p.add_argument("--base-dir", default=_dd("large_25605"))
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--schedule", default="row_sharded", choices=["row_sharded", "ring"])

@@ -18,6 +18,8 @@ pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
 
 from tpuspmm.native import fastio
 
+from tpuspmm.data import data_dir
+
 REF_DATA = "/root/reference/data"
 
 
@@ -78,8 +80,8 @@ def test_mtx_reference_files_match_scipy():
     """Every bundled sparse .mtx parses identically via native and scipy."""
     checked = 0
     for dirname in ("small_32x32", "medium_1484", "large_25605"):
-        d = os.path.join(REF_DATA, dirname)
-        if not os.path.isdir(d):
+        d = data_dir(dirname)
+        if d is None:
             continue
         for name in os.listdir(d):
             if not name.endswith(".mtx") or name == "dense.mtx":
