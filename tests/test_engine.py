@@ -88,9 +88,32 @@ def test_spmv(small):
 def test_spmm_transpose(small):
     a, b, ref = small
     g = np.random.default_rng(5).standard_normal((a.shape[0], 8)).astype(np.float32)
-    out = np.asarray(tpuspmm.spmm_transpose(a, g, method="xla"))
     expect = a.to_dense().T.astype(np.float64) @ g
-    assert allclose(out, expect, 1e-2, 1e-3)
+    for method in ("xla", "pallas"):  # backward must not downgrade off Pallas
+        out = np.asarray(tpuspmm.spmm_transpose(a, g, method=method))
+        assert allclose(out, expect, 1e-2, 1e-3), method
+
+
+def test_spmm_fn_pallas_gradient():
+    """spmm_fn's VJP runs the Pallas machinery end-to-end (VERDICT r1
+    item 5: the backward path must not silently fall back to the
+    gather-bound XLA path)."""
+    import jax
+    import jax.numpy as jnp
+
+    a = CSR.random(200, 300, 0.05, seed=15, lo=-1, hi=1)
+    b0 = np.random.default_rng(8).standard_normal((300, 32)).astype(np.float32)
+    f = tpuspmm.spmm_fn(a, method="pallas")
+    tgt = np.random.default_rng(9).standard_normal((200, 32)).astype(np.float32)
+
+    def loss(b):
+        r = f(b) - tgt
+        return 0.5 * jnp.sum(r * r)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(b0)))
+    ad = a.to_dense().astype(np.float64)
+    res = ad @ b0 - tgt
+    assert allclose(g, ad.T @ res, 1e-2, 1e-3)
 
 
 def test_public_api_formats_round_trip(small):

@@ -103,8 +103,13 @@ def spmm_fn(a, method: str = "auto"):
 def spmm_transpose(a, b, method: str = "auto"):
     """A^T @ B — needed for gradients w.r.t. the dense operand
     (d/dB of A@B is A^T @ dC).  Implemented by transposing the triplet
-    stream (cached on the container); not present in the reference
-    (forward-only harness)."""
+    stream; not present in the reference (forward-only harness).
+
+    The transposed container is cached on `a`, and every per-kernel
+    artifact (TilePlan, device triplets, vendor lowering, tune ranking)
+    caches on *it* in turn — so the backward runs through the same
+    optimized Pallas machinery as the forward, paying the transpose
+    preprocessing once per matrix."""
     from tpuspmm.formats import COO
 
     at = getattr(a, "_transposed", None)
@@ -116,4 +121,4 @@ def spmm_transpose(a, b, method: str = "auto"):
             object.__setattr__(a, "_transposed", at)
         except Exception:
             pass
-    return spmm(at, b, method="xla" if method == "pallas" else method)
+    return spmm(at, b, method=method)

@@ -71,22 +71,7 @@ class RowShardedPlan:
         return cdiv(self.shape[1], self.tile_k)
 
 
-def shard_rows_tileplan(a, n_shards: int, tile_m: int = 128, tile_k: int = 128,
-                        chunk: int = 128) -> RowShardedPlan:
-    """Split A into ``n_shards`` row slabs and lower each to a TilePlan,
-    padding all plans to the max chunk count."""
-    rows, cols, vals, (m, k) = _to_coo_arrays(a)
-    m_local = round_up(cdiv(m, n_shards), tile_m)
-
-    plans = []
-    for s in range(n_shards):
-        lo, hi = s * m_local, min((s + 1) * m_local, m)
-        sel = (rows >= lo) & (rows < hi)
-        plans.append(
-            build_tile_plan(rows[sel] - lo, cols[sel], vals[sel], (m_local, k),
-                            tile_m=tile_m, tile_k=tile_k, chunk=chunk)
-        )
-
+def _stack_plans(plans, shape, n_shards, m_local, tile_m, tile_k, chunk):
     c_max = round_up(max(p.num_chunks for p in plans), 8)
     R, E = n_shards, chunk
     out = {
@@ -107,8 +92,51 @@ def shard_rows_tileplan(a, n_shards: int, tile_m: int = 128, tile_k: int = 128,
         out["vals"][s, :c] = p.vals
         if c < c_max:  # padding chunks stay on the last row tile, no re-zero
             out["rt"][s, c:] = p.rt[c - 1] if c else 0
-    return RowShardedPlan(shape=(m, k), n_shards=n_shards, m_local=m_local,
+    return RowShardedPlan(shape=shape, n_shards=n_shards, m_local=m_local,
                           tile_m=tile_m, tile_k=tile_k, chunk=chunk, **out)
+
+
+def shard_rows_tileplan(a, n_shards: int, tile_m: int = 128, tile_k: int = 128,
+                        chunk: int = 128) -> RowShardedPlan:
+    """Split A into ``n_shards`` row slabs and lower each to a TilePlan,
+    padding all plans to the max chunk count."""
+    rows, cols, vals, (m, k) = _to_coo_arrays(a)
+    m_local = round_up(cdiv(m, n_shards), tile_m)
+
+    plans = []
+    for s in range(n_shards):
+        lo, hi = s * m_local, min((s + 1) * m_local, m)
+        sel = (rows >= lo) & (rows < hi)
+        plans.append(
+            build_tile_plan(rows[sel] - lo, cols[sel], vals[sel], (m_local, k),
+                            tile_m=tile_m, tile_k=tile_k, chunk=chunk)
+        )
+    return _stack_plans(plans, (m, k), n_shards, m_local, tile_m, tile_k, chunk)
+
+
+def shard_rows_tileplan_transposed(a, n_shards: int, tile_m: int = 128,
+                                   tile_k: int = 128, chunk: int = 128) -> RowShardedPlan:
+    """Per-row-slab TilePlans of Aᵀ: shard s's plan computes
+    ``A[lo:hi, :]ᵀ @ X`` for an (m_local, n) operand X — the backward of
+    the row-sharded forward (dB = Σ_s A_sᵀ @ res_s, psum over shards).
+    Plan shape per shard is (K, m_local); ``m_local`` (the contraction
+    dim) must be a multiple of ``tile_k``, which `shard_rows_tileplan`'s
+    tile_m alignment guarantees when tile_m == tile_k."""
+    rows, cols, vals, (m, k) = _to_coo_arrays(a)
+    m_local = round_up(cdiv(m, n_shards), max(tile_m, tile_k))
+
+    plans = []
+    for s in range(n_shards):
+        lo, hi = s * m_local, min((s + 1) * m_local, m)
+        sel = (rows >= lo) & (rows < hi)
+        plans.append(
+            build_tile_plan(cols[sel], rows[sel] - lo, vals[sel], (k, m_local),
+                            tile_m=tile_m, tile_k=tile_k, chunk=chunk)
+        )
+    # m_local of the *transposed* plan = its padded output rows (= K padded),
+    # keeping RowShardedPlan.num_row_tiles/num_k_tiles consistent
+    return _stack_plans(plans, (k, m_local), n_shards,
+                        round_up(k, tile_m), tile_m, tile_k, chunk)
 
 
 @dataclasses.dataclass(frozen=True)
