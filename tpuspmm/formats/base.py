@@ -70,6 +70,31 @@ class MatrixBase:
         names = self._array_fields()
         return bool(names) and _is_jax_array(getattr(self, names[0]))
 
+    # --- dtype breadth -----------------------------------------------
+    # The reference templates its engines over <DT, MT, AccT> and
+    # instantiates float and double (reference/src/engine/engine.cpp:63-80,
+    # effective support float32-only per SURVEY.md §2.5).  Here any value
+    # dtype numpy knows (f32, f64, bf16 via ml_dtypes) can be carried by a
+    # container; the f64 path serves the oracle/validation tier, the bf16
+    # path the serving tier (kernels gather bf16 operands in one exact MXU
+    # pass).  Indices are untouched.
+    def astype(self, dtype) -> "MatrixBase":
+        """New container with values (and dense blocks) cast to `dtype`."""
+        kwargs = {}
+        for name in self._array_fields():
+            arr = getattr(self, name)
+            if name in ("values", "blocks", "data"):
+                kwargs[name] = np.asarray(arr).astype(dtype)
+        return dataclasses.replace(self, **kwargs)
+
+    @property
+    def value_dtype(self):
+        for name in ("values", "blocks", "data"):
+            arr = getattr(self, name, None)
+            if arr is not None:
+                return np.asarray(arr).dtype
+        return np.dtype(np.float32)
+
 
 def register_format(cls, data_fields: Sequence[str], meta_fields: Sequence[str]):
     """Register a format dataclass as a JAX pytree."""

@@ -69,7 +69,11 @@ def _kernel(rt_ref, kt8_ref, rows_ref, cols_ref, vals_ref, b_ref, out_ref,
         # ~2^-17 — served via the verified autotune path only); both vs 18
         # passes/chunk for the two HIGHEST matmuls of "highest".
         terms = 2 if mode == "split2" else 3
-        b_parts = split_bf16(b_ref[...], terms)
+        b_raw = b_ref[...]
+        # bf16 ingestion (serving mode): B is already exact in bf16, so the
+        # gather collapses to ONE MXU pass — the dtype-breadth fast path
+        b_parts = ([b_raw] if b_raw.dtype == jnp.bfloat16
+                   else split_bf16(b_raw, terms))
         e = rows_ref.shape[1]
         r_iota = jax.lax.broadcasted_iota(jnp.int32, (tm, e), 0)
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (e, tk), 1)
@@ -92,7 +96,7 @@ def _kernel(rt_ref, kt8_ref, rows_ref, cols_ref, vals_ref, b_ref, out_ref,
                 out_ref[pl.ds(rt * tm, tm), :] += contrib
         return
 
-    b_tile = b_ref[...]
+    b_tile = b_ref[...].astype(jnp.float32)
     for sub in range(8):  # all 8 chunks of this block share the B panel
         rt = rt_ref[c * 8 + sub]
 
@@ -169,7 +173,9 @@ def _kernel_kloop(start_ref, end_ref, rt_ref, rows_ref, cols_ref, vals_ref,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     terms = 2 if mode == "split2" else 3
-    b_parts = split_bf16(b_ref[...], terms)
+    b_raw = b_ref[...]
+    b_parts = ([b_raw] if b_raw.dtype == jnp.bfloat16
+               else split_bf16(b_raw, terms))
     e = rows_ref.shape[1]
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (tm, e), 0)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (e, tk), 1)

@@ -50,9 +50,11 @@ def _kernel(kt_ref, start_ref, end_ref, rows_ref, cols_ref, vals_ref, b_ref,
         if mode in ("split", "split2"):
             # gather-then-scatter with exact bf16 one-hots and multi-term
             # bf16 split data (see cres_spmm._kernel): 6 (split) or 4
-            # (split2) single-pass MXU matmuls per chunk vs 12 HIGHEST.
+            # (split2) single-pass MXU matmuls per chunk vs 12 HIGHEST;
+            # bf16-ingested B needs no split at all (one-pass gather)
             terms = 2 if mode == "split2" else 3
-            b_parts = split_bf16(b_panel, terms)
+            b_parts = ([b_panel] if b_panel.dtype == jnp.bfloat16
+                       else split_bf16(b_panel, terms))
             k_onehot = (cols[:, None] == k_iota).astype(jnp.bfloat16)
             g = onehot_dot_split(k_onehot, b_parts)
             v = g * vals[:, None]
@@ -62,7 +64,8 @@ def _kernel(kt_ref, start_ref, end_ref, rows_ref, cols_ref, vals_ref, b_ref,
         k_onehot = (cols[:, None] == k_iota).astype(jnp.float32) * vals[:, None]
         a_tile = jnp.dot(r_onehot, k_onehot, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
-        return acc + jnp.dot(a_tile, b_panel, preferred_element_type=jnp.float32,
+        return acc + jnp.dot(a_tile, b_panel.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
 
     acc = jnp.zeros((tm, n), dtype=jnp.float32)

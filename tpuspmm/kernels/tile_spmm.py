@@ -58,7 +58,10 @@ def _kernel(rt_ref, kt_ref, first_ref, rows_ref, cols_ref, vals_ref, b_ref,
         # split data (see cres_spmm._kernel): 6 (split) or 4 (split2)
         # single-pass MXU matmuls per chunk vs 12 HIGHEST passes.
         terms = 2 if mode == "split2" else 3
-        b_parts = split_bf16(b_ref[...], terms)
+        b_raw = b_ref[...]
+        # bf16 ingestion: B already exact in bf16 → one-pass gather
+        b_parts = ([b_raw] if b_raw.dtype == jnp.bfloat16
+                   else split_bf16(b_raw, terms))
         k_onehot = (cols[:, None] == k_iota).astype(jnp.bfloat16)
         g = onehot_dot_split(k_onehot, b_parts)   # (E, TN): B rows
         v = g * vals[:, None]
@@ -69,7 +72,8 @@ def _kernel(rt_ref, kt_ref, first_ref, rows_ref, cols_ref, vals_ref, b_ref,
         k_onehot = (cols[:, None] == k_iota).astype(jnp.float32) * vals[:, None]  # (E, TK)
         a_tile = jnp.dot(r_onehot, k_onehot, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
-        contrib = jnp.dot(a_tile, b_ref[...], preferred_element_type=jnp.float32,
+        contrib = jnp.dot(a_tile, b_ref[...].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(first_ref[c] == 1)

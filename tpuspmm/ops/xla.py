@@ -37,7 +37,10 @@ def spmm_triplets(rows, cols, values, b, *, num_rows: int):
     """
     rows = jnp.asarray(rows)
     safe_rows = jnp.where(rows < 0, num_rows, rows)
-    contrib = values[:, None].astype(b.dtype) * b[cols]
+    # accumulate in >= f32 regardless of ingestion dtype: a bf16 B (the
+    # dtype-breadth serving path) must not force bf16 accumulation
+    acc = jnp.float32 if b.dtype == jnp.bfloat16 else b.dtype
+    contrib = values[:, None].astype(acc) * b.astype(acc)[cols]
     out = jax.ops.segment_sum(contrib, safe_rows, num_segments=num_rows + 1)
     return out[:num_rows]
 
@@ -50,6 +53,8 @@ def spmm_bsr_blocks(block_rows, indices, blocks, b, *, num_block_rows: int, bloc
     indptr on the host).  The batched matmul maps directly onto the MXU.
     """
     n = b.shape[1]
+    if b.dtype == jnp.bfloat16:
+        b = b.astype(jnp.float32)
     b_panels = b.reshape(-1, block_w, n)[indices]  # (nblocks, bw, n)
     prod = jnp.einsum(
         "ihw,iwn->ihn", blocks, b_panels, preferred_element_type=jnp.float32,
@@ -69,8 +74,10 @@ def spmm_densify(rows, cols, values, b, *, num_rows: int, num_cols: int):
     past ~10% density the systolic array on the densified operand beats
     every sparse decomposition.
     """
-    a_dense = jnp.zeros((num_rows, num_cols), dtype=b.dtype).at[rows, cols].add(values)
-    return jnp.dot(a_dense, b, preferred_element_type=jnp.float32,
+    acc = jnp.float32 if b.dtype == jnp.bfloat16 else b.dtype
+    a_dense = jnp.zeros((num_rows, num_cols), dtype=acc).at[rows, cols].add(
+        values.astype(acc))
+    return jnp.dot(a_dense, b.astype(acc), preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
 
 
