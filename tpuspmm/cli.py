@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-vendor", action="store_true", help="skip the jax.experimental.sparse baseline")
     p.add_argument("--repeats", type=int, default=3, help="steady-state timing repeats")
     p.add_argument("--kernel", type=int, default=None, help="run only this kernel number (-1/0/1..N)")
+    p.add_argument("--tuned", action="store_true",
+                   help="autotune: verify+time every admissible variant, serve "
+                        "the winner, emit one record with the ranking")
     p.add_argument("--out", type=str, default=None, help="append JSON records to this file")
     p.add_argument("--interpret", action="store_true", help="force Pallas interpret mode")
     p.add_argument("--trace", type=str, default=None,
@@ -60,10 +63,17 @@ def main(argv=None) -> int:
         config.interpret = True
 
     if not os.path.isdir(args.data_dir):
-        # mirror the reference's explicit missing-path diagnostics
-        # (reference/src/main.cu:146-174 exit(EXIT_FAILURE) paths)
-        print(f"data directory {args.data_dir!r} does not exist", file=sys.stderr)
-        return 2
+        # bare corpus names resolve through the data search path
+        # (repo data/, then the reference mount — tpuspmm/data.py)
+        from tpuspmm.data import data_dir as resolve_dir
+
+        resolved = resolve_dir(args.data_dir)
+        if resolved is None:
+            # mirror the reference's explicit missing-path diagnostics
+            # (reference/src/main.cu:146-174 exit(EXIT_FAILURE) paths)
+            print(f"data directory {args.data_dir!r} does not exist", file=sys.stderr)
+            return 2
+        args.data_dir = resolved
 
     fmts = [f for f, on in (("csr", args.csr), ("coo", args.coo), ("bsr", args.bsr), ("ell", args.ell)) if on]
     if args.auto:
@@ -93,6 +103,33 @@ def main(argv=None) -> int:
         for fmt in fmts:
             a = convert.load_sparse(args.data_dir, fmt)
             engine = get_engine(fmt)
+            if args.tuned:
+                from tpuspmm.engine import autotune
+                from tpuspmm.utils.compare import allclose
+                from tpuspmm.ops import oracle as oracle_mod
+
+                ranking = autotune.tune(a, b, iters=max(4, args.repeats),
+                                        config=config, verbose=True)
+                if not ranking:
+                    print(f"# {fmt}: no variant passed tuning", file=sys.stderr)
+                    status = 1
+                    continue
+                win = engine.variant(ranking[0].number)
+                result = np.asarray(win.fn(a, b, config))
+                ok = allclose(result, oracle_mod.spmm_scipy_oracle(a, b),
+                              config.rel_tol, config.abs_tol)
+                rec = report_mod.make_record(
+                    testcase=testcase, sparsity=a.sparsity, fmt=fmt,
+                    kernel_type=win.number, kernel_name=win.name, correct=ok,
+                    nnz=a.nnz, shape=a.shape, n=b.shape[1],
+                    kernel_ms=ranking[0].ms,
+                    extra={"tuned": "1", "ranking": [
+                        {"kernel": r.variant_name, "ms": r.ms} for r in ranking]},
+                )
+                report_mod.emit(rec, out_stream or sys.stdout)
+                if not ok:
+                    status = 1
+                continue
             if args.kernel is not None:
                 import time as _time
 
