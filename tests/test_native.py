@@ -113,3 +113,37 @@ def test_io_loaders_use_native_consistently(tmp_path):
     np.testing.assert_array_equal(indptr, np.asarray(a.indptr))
     np.testing.assert_array_equal(indices, np.asarray(a.indices))
     np.testing.assert_allclose(values, np.asarray(a.values), rtol=1e-6)
+
+
+def test_native_tileplan_matches_numpy():
+    """The C++ tile-plan builder must reproduce the numpy plan arrays
+    bit-for-bit (same grouping, chunking, ordering, padding)."""
+    import scipy.sparse
+
+    from tpuspmm.formats import tiles
+    from tpuspmm.native import tileplan as native_tp
+
+    if not native_tp.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(31)
+    for (m, k, density, tm, tk, E) in [
+        (300, 511, 0.05, 128, 128, 128),
+        (1000, 2000, 0.01, 128, 256, 128),
+        (64, 64, 0.2, 128, 128, 128),
+        (513, 129, 0.0, 128, 128, 128),   # empty matrix
+        (900, 100, 0.003, 64, 128, 64),   # rows with empty tiles
+    ]:
+        sp = scipy.sparse.random(m, k, density=density, format="coo",
+                                 random_state=rng,
+                                 data_rvs=lambda n: rng.uniform(-5, 5, n))
+        ref = tiles.build_tile_plan(sp.row, sp.col, sp.data, (m, k),
+                                    tile_m=tm, tile_k=tk, chunk=E)
+        got = native_tp.build_tile_plan_arrays(sp.row, sp.col, sp.data,
+                                               (m, k), tm, tk, E)
+        for name, a, b in zip(("rt", "kt", "first", "rows", "cols", "vals"),
+                              got, (ref.rt, ref.kt, ref.first,
+                                    ref.rows, ref.cols, ref.vals)):
+            np.testing.assert_array_equal(a, b, err_msg=f"{name} {m}x{k}")

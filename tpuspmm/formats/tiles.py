@@ -91,6 +91,12 @@ class TilePlan:
         return start, end
 
 
+# past this many nonzeros the C++ builder (single stable sort + linear
+# walk) beats numpy's argsort+fancy-gather pipeline; below it the ctypes
+# round trip isn't worth it
+NATIVE_MIN_NNZ = 200_000
+
+
 def build_tile_plan(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -103,6 +109,17 @@ def build_tile_plan(
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals, dtype=np.float32)
+
+    if len(rows) >= NATIVE_MIN_NNZ:
+        from tpuspmm.native import tileplan as native_tp
+
+        if native_tp.available():
+            rt, kt, first, prows, pcols, pvals = native_tp.build_tile_plan_arrays(
+                rows, cols, vals, shape, tile_m, tile_k, chunk)
+            return TilePlan(rt=rt, kt=kt, first=first,
+                            rows=prows, cols=pcols, vals=pvals,
+                            shape=tuple(shape), tile_m=tile_m,
+                            tile_k=tile_k, chunk=chunk)
     nrt = _cdiv(shape[0], tile_m)
     nkt = _cdiv(shape[1], tile_k)
 
