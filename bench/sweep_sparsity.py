@@ -67,7 +67,8 @@ def main(argv=None) -> int:
                 )
                 for rec in records:
                     report_mod.emit(rec, out_stream)
-                    if rec.get("correct") == "0":
+                    if (rec.get("correct") == "0"
+                            and rec.get("verifiedOnly") != "1"):
                         failures += 1
     finally:
         if args.out:

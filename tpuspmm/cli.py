@@ -166,7 +166,8 @@ def main(argv=None) -> int:
             if out_stream is not None:
                 for rec in records:
                     report_mod.emit(rec, out_stream)
-            if any(rec.get("correct") == "0" for rec in records):
+            if any(rec.get("correct") == "0" and rec.get("verifiedOnly") != "1"
+                   for rec in records):
                 status = 1
     finally:
         if out_stream:

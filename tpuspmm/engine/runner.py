@@ -128,11 +128,17 @@ def run_engine(
                 lambda bb, v=variant: v.fn(a, bb, config)
             )
             ok = allclose(host, ref, rel_tol=config.rel_tol, abs_tol=config.abs_tol)
+            extra = {"perCallLatencyMs": round(per_call_ms, 4)}
+            if variant.verified_only:
+                # numerics not guaranteed for every (matrix, operand) —
+                # a correct=0 here documents inadmissibility, it is not a
+                # framework failure (only gate-checking paths serve these)
+                extra["verifiedOnly"] = "1"
             rec = report_mod.make_record(
                 kernel_type=variant.number, kernel_name=variant.name,
                 correct=ok, prolog_ms=prolog_ms, kernel_ms=kernel_ms,
                 epilog_ms=epilog_ms, sequential_ms=seq_ms,
-                extra={"perCallLatencyMs": round(per_call_ms, 4)}, **common,
+                extra=extra, **common,
             )
         except Exception as e:  # record failures instead of aborting the sweep
             rec = report_mod.make_record(
