@@ -39,7 +39,13 @@ def summarize(records):
         timed = [r for r in recs
                  if r.get("correct") == "1" and r.get("tpuKernelTimeMs", 0) > 0
                  and r.get("kernelType") not in ("0",)]
-        n_bad = sum(r.get("correct") == "0" for r in recs)
+        # Gate misses from opt-in verified-only variants (split2 etc.) are
+        # expected behaviour — the variant is only served after the gate
+        # passes — so they are tallied separately, not as failures.
+        n_bad = sum(r.get("correct") == "0" and r.get("verifiedOnly") != "1"
+                    for r in recs)
+        n_vo_miss = sum(r.get("correct") == "0" and r.get("verifiedOnly") == "1"
+                        for r in recs)
         best = min(timed, key=lambda r: r["tpuKernelTimeMs"]) if timed else None
         vendor = next((r for r in timed if r.get("kernelType") == "-1"), None)
         rows.append({
@@ -47,6 +53,7 @@ def summarize(records):
             "format": fmt,
             "records": len(recs),
             "incorrect": n_bad,
+            "vo_miss": n_vo_miss,
             "best_kernel": best.get("kernelName") or best.get("kernelType") if best else "-",
             "best_ms": round(best["tpuKernelTimeMs"], 3) if best else None,
             "gflops": round(best.get("gflops", 0), 2) if best else None,
@@ -76,7 +83,9 @@ def main(argv=None) -> int:
         for r in rows:
             print("| " + " | ".join(str(r[c]) for c in cols) + " |")
     total_bad = sum(r["incorrect"] for r in rows)
-    print(f"\n{len(rows)} groups, {total_bad} incorrect records total",
+    total_vo = sum(r["vo_miss"] for r in rows)
+    print(f"\n{len(rows)} groups, {total_bad} incorrect records total"
+          f" ({total_vo} verified-only gate misses, not served)",
           file=sys.stderr)
     return 0 if total_bad == 0 else 1
 

@@ -80,6 +80,29 @@ def discover(data_dir: str) -> Dict[str, Optional[str]]:
     return found
 
 
+def write_all_formats(a, data_dir: str, stem: str, block_size: int = 4) -> list:
+    """Write a container to `data_dir` in all four reference text formats
+    (`.csr`, `.coo`, `.bsr`, the col-major ELL pair) — the per-container
+    twin of tools.convert_mtx.convert_dir.  Returns the files written."""
+    import scipy.sparse
+
+    sp = scipy.sparse.coo_matrix(a.to_scipy())
+    base = os.path.join(data_dir, stem)
+    written = []
+    CSR.from_scipy(sp).save(base + ".csr")
+    written.append(base + ".csr")
+    COO.from_scipy(sp).sort_by_row().save(base + ".coo")
+    written.append(base + ".coo")
+    bs = block_size
+    while bs > 1 and (sp.shape[0] % bs or sp.shape[1] % bs):
+        bs -= 1
+    BSR.from_scipy(sp, block_size=(bs, bs)).save(base + ".bsr")
+    written.append(base + ".bsr")
+    ELL.from_scipy(sp).save(base + "_rowind.ell", base + "_values_colmajor.ell")
+    written += [base + "_rowind.ell", base + "_values_colmajor.ell"]
+    return written
+
+
 def load_sparse(data_dir: str, fmt: str, block_size=(4, 4)):
     """Load the sparse operand of `data_dir` in the requested format,
     preferring the reference's pre-converted text file, falling back to

@@ -52,25 +52,26 @@ GOLDEN_DIRS = ("small_10x10", "small_32x32", "small_210")
 
 def regen_medium_4096(root: str) -> None:
     """The reference's HFE18_96_in.mtx is a missing blob; synthesise a
-    deterministic stand-in with the recorded dims (4096^2, 12264 nnz)."""
-    from tpuspmm.formats import CSR, io as fio
+    deterministic stand-in with the recorded dims (4096^2, 12264 nnz) in
+    all four text formats so every engine sweeps it."""
+    from tpuspmm.formats import CSR, convert
 
     d = os.path.join(root, "medium_4096")
     os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, "gen_HFE18_96_in.csr")
-    if os.path.exists(path):
+    marker = os.path.join(d, "gen_HFE18_96_in_rowind.ell")
+    if os.path.exists(marker):
         return
     rows, cols, nnz = EXPECTED["medium_4096"]
     density = nnz / (rows * cols)
     a = CSR.random(rows, cols, density, seed=4096, lo=-1.0, hi=1.0)
-    fio.write_csr_text(path, a.shape, np.asarray(a.indptr),
-                       np.asarray(a.indices), np.asarray(a.values))
+    written = convert.write_all_formats(a, d, stem="gen_HFE18_96_in")
     with open(os.path.join(d, "GENERATED.json"), "w") as f:
-        json.dump({"file": os.path.basename(path), "seed": 4096,
-                   "shape": [rows, cols], "nnz": int(a.nnz),
+        json.dump({"files": sorted(os.path.basename(p) for p in written),
+                   "seed": 4096, "shape": [rows, cols], "nnz": int(a.nnz),
                    "note": "deterministic stand-in for the reference's "
                            "missing HFE18_96_in.mtx blob"}, f, indent=1)
-    print(f"# generated {path} ({rows}x{cols}, nnz={a.nnz})")
+    print(f"# generated medium_4096 stand-in ({rows}x{cols}, nnz={a.nnz}): "
+          f"{len(written)} files")
 
 
 def write_goldens(root: str) -> None:
