@@ -1,0 +1,125 @@
+"""Panel-kernel tests: plan-time block densification (kernels/panel_spmm).
+
+The generic variant sweep (test_kernels.py) already drives pallas_panel
+through the engine registry; this file covers the plan builder's edge
+cases — padding strips, duplicate accumulation, caching, admission — and
+the precision-mode tiers.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+from tpuspmm.config import Config
+from tpuspmm.formats import COO, convert
+from tpuspmm.kernels import panel_spmm
+from tpuspmm.ops import oracle
+from tpuspmm.utils.compare import allclose
+
+CFG = Config(interpret=True)
+
+
+def _rand_coo(m, k, density, seed=0):
+    rng = np.random.default_rng(seed)
+    sp = scipy.sparse.random(
+        m, k, density=density, format="coo", random_state=rng,
+        data_rvs=lambda n: rng.uniform(-100, 100, n))
+    return convert.to_format(sp.tocsr(), "coo"), sp
+
+
+@pytest.mark.parametrize("shape,density", [
+    ((100, 300), 0.01),   # multiple k-tiles, ragged m
+    ((257, 515), 0.02),   # ragged both dims → trash strip in play
+    ((16, 128), 0.5),     # exactly one aligned strip
+    ((8, 8), 1.0),        # smaller than one strip
+])
+def test_panel_matches_oracle(shape, density):
+    a, sp = _rand_coo(*shape, density, seed=shape[0])
+    rng = np.random.default_rng(1)
+    b = rng.uniform(-1, 1, (shape[1], 70)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+
+
+def test_duplicate_coordinates_accumulate():
+    # COO semantics: duplicates sum (reference/src/spmm/coo/spmm_coo_k1.cu:24)
+    rows = np.array([0, 0, 3, 3, 3], np.int32)
+    cols = np.array([1, 1, 2, 2, 2], np.int32)
+    vals = np.array([1.0, 2.0, 10.0, -4.0, 1.0], np.float32)
+    a = COO(shape=(5, 4), rows=rows, cols=cols, values=vals)
+    b = np.eye(4, dtype=np.float32)
+    out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True))
+    assert out[0, 1] == pytest.approx(3.0)
+    assert out[3, 2] == pytest.approx(7.0)
+    assert np.count_nonzero(out) == 2
+
+
+def test_empty_matrix():
+    a = COO(shape=(20, 40), rows=np.zeros(0, np.int32),
+            cols=np.zeros(0, np.int32), values=np.zeros(0, np.float32))
+    b = np.ones((40, 8), np.float32)
+    out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True))
+    assert out.shape == (20, 8)
+    assert not out.any()
+
+
+def test_plan_cached_on_container():
+    a, _ = _rand_coo(64, 256, 0.05, seed=7)
+    p1 = panel_spmm.panel_plan_from_container(a)
+    p2 = panel_spmm.panel_plan_from_container(a)
+    assert p1 is p2
+    # different geometry → different plan
+    p3 = panel_spmm.panel_plan_from_container(a, tm=32)
+    assert p3 is not p1 and p3.tm == 32
+
+
+def test_plan_structure():
+    a, sp = _rand_coo(100, 300, 0.02, seed=3)
+    plan = panel_spmm.panel_plan_from_container(a)
+    # kt sorted ascending → each B k-tile fetched once
+    assert (np.diff(plan.kt) >= 0).all()
+    # every real strip offset is tm-aligned and in range; padding strips
+    # point at the trash strip m_pad
+    offs = plan.offs.ravel()
+    assert ((offs % plan.tm) == 0).all()
+    assert (offs <= plan.m_pad).all()
+    # densified mass equals the triplet mass
+    assert plan.a_dense.sum() == pytest.approx(float(sp.tocoo().data.sum()), rel=1e-5)
+
+
+def test_split_mode_is_verified_only_tier():
+    # ~2^-16 relative: may breach the abs gate under cancellation, so the
+    # registry marks it verified_only; on a benign matrix it passes.
+    a, _ = _rand_coo(64, 256, 0.05, seed=11)
+    rng = np.random.default_rng(2)
+    b = rng.uniform(-1, 1, (256, 32)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True, mode="split"))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+    from tpuspmm.engine.registry import get_engine
+
+    v = {v.name: v for v in get_engine("csr").variants}
+    assert v["pallas_panel_split"].verified_only
+    assert not v["pallas_panel"].verified_only
+
+
+def test_bf16_ingested_b():
+    a, _ = _rand_coo(64, 256, 0.05, seed=13)
+    rng = np.random.default_rng(5)
+    b32 = rng.uniform(-1, 1, (256, 32)).astype(np.float32)
+    import jax.numpy as jnp
+
+    b16 = jnp.asarray(b32, dtype=jnp.bfloat16)
+    ref = oracle.spmm_oracle(a, np.asarray(b16, np.float32))
+    out = np.asarray(panel_spmm.spmm_panel(a, b16, interpret=True))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+
+
+def test_vmem_admission_raises():
+    # an output too large for VMEM residency must be refused, not mis-run
+    a, _ = _rand_coo(64, 128, 0.1, seed=17)
+    b = np.ones((128, 8), np.float32)
+    with pytest.raises(ValueError):
+        panel_spmm.spmm_panel(a, b, interpret=True, budget_bytes=1024)

@@ -79,10 +79,20 @@ def matrix_digest(a) -> str:
     return h.hexdigest()[:16]
 
 
+def _engine_rev(fmt: str) -> str:
+    """Fingerprint of the format's variant set — cached rankings from an
+    older engine (missing variants added since) must not be served."""
+    from tpuspmm.engine.registry import get_engine
+
+    names = ",".join(v.name for v in get_engine(fmt).variants)
+    return hashlib.sha1(names.encode()).hexdigest()[:8]
+
+
 def _disk_key(a, b) -> str:
     from tpuspmm.engine.report import detect_chip
 
-    return f"{matrix_digest(a)}:{a.format_name}:n{int(np.shape(b)[1])}:{detect_chip()}"
+    return (f"{matrix_digest(a)}:{a.format_name}:n{int(np.shape(b)[1])}"
+            f":{detect_chip()}:e{_engine_rev(a.format_name)}")
 
 
 def _disk_load(key: str) -> Optional[List[TuneResult]]:

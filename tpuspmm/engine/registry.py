@@ -177,6 +177,37 @@ def _cres_ok(a, b, config):
                                    budget_bytes=config.vmem_budget_bytes)
 
 
+def _panel(a, b, config):
+    from tpuspmm.kernels import panel_spmm
+
+    return panel_spmm.spmm_panel(a, b, interpret=config.interpret,
+                                 budget_bytes=config.vmem_budget_bytes)
+
+
+def _panel_split(a, b, config):
+    from tpuspmm.kernels import panel_spmm
+
+    return panel_spmm.spmm_panel(a, b, interpret=config.interpret,
+                                 budget_bytes=config.vmem_budget_bytes,
+                                 mode="split")
+
+
+def _panel_ok(a, b, config):
+    from tpuspmm.kernels import panel_spmm
+    from tpuspmm.kernels.common import round_up
+
+    m_pad = round_up(a.shape[0], 8)
+    n_pad = round_up(b.shape[1], 128)
+    if not panel_spmm.fits_vmem_panel(m_pad, n_pad, 8, 128,
+                                      budget_bytes=config.vmem_budget_bytes):
+        return False
+    # the stacked dense plan is re-read from HBM every call — admission
+    # requires affordable plan bytes (plan is cached on the container, so
+    # building it here costs nothing in steady state)
+    plan = panel_spmm.panel_plan_from_container(a)
+    return plan.plan_bytes <= panel_spmm.PLAN_BYTES_CAP
+
+
 def _coo_xla(a, b, config):
     from tpuspmm.ops import xla
 
@@ -228,6 +259,14 @@ def build_engines() -> Dict[str, Engine]:
                               "C-resident with 2-term bf16 splits (4 MXU passes/chunk, ~2^-17 error) — "
                               "only served when it passes the per-matrix gate (autotune verifies)",
                               admissible=_cres_ok, verified_only=True),
+                KernelVariant(7, "pallas_panel", _panel,
+                              "plan-time block densification: static A pre-densified into MXU "
+                              "panels, serving = dense panel matmuls (f32 HIGHEST, gate-exact)",
+                              admissible=_panel_ok),
+                KernelVariant(8, "pallas_panel_split", _panel_split,
+                              "panel kernel with 3-pass bf16 split matmuls (~2^-16 error) — "
+                              "only served when it passes the per-matrix gate",
+                              admissible=_panel_ok, verified_only=True),
             ],
         ),
         "coo": Engine(
@@ -240,6 +279,9 @@ def build_engines() -> Dict[str, Engine]:
                 KernelVariant(3, "pallas_c_resident", _cres,
                               "C resident in VMEM, k-major panels (large-K shapes)",
                               admissible=_cres_ok),
+                KernelVariant(4, "pallas_panel", _panel,
+                              "plan-time block densification into MXU panels",
+                              admissible=_panel_ok),
             ],
         ),
         "bsr": Engine(
@@ -251,6 +293,9 @@ def build_engines() -> Dict[str, Engine]:
                               "MXU block streaming with VMEM-resident output tile (megablox-style)"),
                 KernelVariant(3, "pallas_tile_mxu", _tile,
                               "densified tile kernel (small-block fallback)"),
+                KernelVariant(4, "pallas_panel", _panel,
+                              "plan-time re-blocking into MXU panels (any stored block size)",
+                              admissible=_panel_ok),
             ],
         ),
         "ell": Engine(
@@ -263,6 +308,9 @@ def build_engines() -> Dict[str, Engine]:
                 KernelVariant(3, "pallas_c_resident", _cres,
                               "C resident in VMEM, k-major panels (large-K shapes)",
                               admissible=_cres_ok),
+                KernelVariant(4, "pallas_panel", _panel,
+                              "plan-time block densification into MXU panels",
+                              admissible=_panel_ok),
             ],
         ),
     }
