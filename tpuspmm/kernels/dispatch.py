@@ -7,8 +7,10 @@ measured v5e device times (bench/profile_variants.py, chained timing):
 
   density ≥ 0.4% and dense A ≤ 128 MiB → on-device densify + MXU matmul
       (2048² @ 1% density: 0.17 ms vs 0.88 ms tile / 1.8 ms gather)
-  ≥ ~40 nnz per tile chunk              → Pallas tile-sparse MXU kernel
-      (large_25605: 0.97 ms vs 1.5 ms gather / 1.5 ms vendor)
+  C fits VMEM and panel plan ≤ 128 MiB  → Pallas panel kernel (plan-time
+      densification; large_25605 w256: 0.26 ms gate-exact vs 0.39 cres)
+  ≥ ~40 nnz per tile chunk              → staged / C-resident / tile
+      one-hot MXU kernels by residency fit
   otherwise                             → XLA gather + segment-sum
       (hyper-sparse irregular: tile padding overhead dominates)
 
@@ -36,16 +38,20 @@ from tpuspmm.kernels.common import round_up
 _CHIP_THRESHOLDS = {
     "v5e": {"densify_max_bytes": 128 * 1024 * 1024,
             "densify_min_density": 0.004,
-            "tile_min_nnz_per_chunk": 40.0},
+            "tile_min_nnz_per_chunk": 40.0,
+            "panel_max_plan_bytes": 128 * 1024 * 1024},
     "v5p": {"densify_max_bytes": 256 * 1024 * 1024,
             "densify_min_density": 0.003,
-            "tile_min_nnz_per_chunk": 32.0},
+            "tile_min_nnz_per_chunk": 32.0,
+            "panel_max_plan_bytes": 256 * 1024 * 1024},
     "v4": {"densify_max_bytes": 128 * 1024 * 1024,
            "densify_min_density": 0.004,
-           "tile_min_nnz_per_chunk": 36.0},
+           "tile_min_nnz_per_chunk": 36.0,
+           "panel_max_plan_bytes": 128 * 1024 * 1024},
     "cpu": {"densify_max_bytes": 128 * 1024 * 1024,
             "densify_min_density": 0.004,
-            "tile_min_nnz_per_chunk": 40.0},
+            "tile_min_nnz_per_chunk": 40.0,
+            "panel_max_plan_bytes": 128 * 1024 * 1024},
 }
 
 _thresholds_cache = None
@@ -120,6 +126,20 @@ def spmm_pallas(a, b, interpret=None, config=None):
     if (m * k * 4 <= th["densify_max_bytes"]
             and a.sparsity >= th["densify_min_density"]):
         return _densify(a, b)
+
+    # panel kernel (plan-time densification): measured fastest gate-exact
+    # strategy whenever the VMEM-resident output fits and the stacked
+    # dense plan is HBM-affordable (large_25605 w256: 0.26 ms vs 0.39
+    # cres / 1.2 tile / 2.0 gather, v5e)
+    from tpuspmm.kernels import panel_spmm
+
+    n_pad = round_up(b.shape[1], 128)
+    if panel_spmm.fits_vmem_panel(round_up(m, 8), n_pad, 8, 128,
+                                  budget_bytes=budget):
+        pplan = panel_spmm.panel_plan_from_container(a)
+        if pplan.plan_bytes <= th["panel_max_plan_bytes"]:
+            return panel_spmm.spmm_panel(pplan, b, interpret=interpret,
+                                         budget_bytes=budget)
 
     plan = tile_spmm.plan_from_container(
         a, tile_m=config.tile_m, tile_k=config.tile_k, chunk=config.chunk_nnz)
