@@ -44,6 +44,8 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--schedule", default="row_sharded", choices=["row_sharded", "ring"])
+    p.add_argument("--local", default="xla", choices=["xla", "tile", "panel"],
+                   help="per-chip kernel for the row-sharded schedule")
     args = p.parse_args(argv)
 
     counts = [int(x) for x in args.devices.split(",")]
@@ -78,9 +80,16 @@ def main(argv=None) -> int:
         if args.schedule == "ring":
             buckets = bucket_triplets(a, n, n)
             fn = lambda: spmm_ring(a, b, mesh, buckets=buckets)
+        elif args.local == "panel":
+            from tpuspmm.parallel.shard import shard_rows_panelplan
+
+            plan = shard_rows_panelplan(a, n)
+            fn = lambda: spmm_row_sharded(a, b, mesh, local="panel",
+                                          plan=plan)
         else:
             plan = shard_rows_tileplan(a, n)
-            fn = lambda: spmm_row_sharded(a, b, mesh, local="xla", plan=plan)
+            fn = lambda: spmm_row_sharded(a, b, mesh, local=args.local,
+                                          plan=plan)
         ms, _ = time_fn(fn, warmup=1, repeats=args.repeats)
         nnz_per_s = a.nnz / (ms / 1e3)
         if t1 is None:

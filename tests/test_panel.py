@@ -118,8 +118,77 @@ def test_bf16_ingested_b():
 
 
 def test_vmem_admission_raises():
-    # an output too large for VMEM residency must be refused, not mis-run
+    # a budget too small for even one output strip + streaming buffers
+    # must be refused, not mis-run
     a, _ = _rand_coo(64, 128, 0.1, seed=17)
     b = np.ones((128, 8), np.float32)
     with pytest.raises(ValueError):
         panel_spmm.spmm_panel(a, b, interpret=True, budget_bytes=1024)
+
+
+def test_device_cache_survives_tracing():
+    # regression: a first call under an outer trace (e.g. the chained
+    # device timer) must not cache trace-scoped tracers on the plan —
+    # later traces would hit UnexpectedTracerError
+    import jax
+
+    a, _ = _rand_coo(64, 256, 0.05, seed=31)
+    b = np.ones((256, 32), np.float32)
+    f = jax.jit(lambda bb: panel_spmm.spmm_panel(a, bb, interpret=True))
+    f(b)  # first use happens inside a trace
+    g = jax.jit(lambda bb: panel_spmm.spmm_panel(a, bb, interpret=True) + 1)
+    g(b)  # a second, different trace must not see leaked tracers
+    # eager call afterwards still works and may now cache concrete arrays
+    out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True))
+    assert out.shape == (64, 32)
+
+
+def test_supertiled_matches_oracle():
+    # output larger than the budget → row supertiling (n_st > 1); the
+    # budget below yields sm = 144 for n_pad 128 → 5 supertiles over 600
+    # padded rows
+    a, _ = _rand_coo(600, 300, 0.01, seed=23)
+    rng = np.random.default_rng(3)
+    b = rng.uniform(-1, 1, (300, 70)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    budget = 340_000
+    sm = panel_spmm.pick_supertile_rows(600, 128, 8, 128,
+                                        budget_bytes=budget)
+    assert sm is not None and 8 <= sm < 600
+    out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True,
+                                           budget_bytes=budget))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+
+
+def test_supertiled_empty_supertile_is_zero():
+    # rows 200..399 empty: with sm small enough, at least one supertile
+    # has no nonzeros — its slab must still come back zeroed
+    rows = np.array([0, 1, 599], np.int32)
+    cols = np.array([0, 5, 120], np.int32)
+    vals = np.array([2.0, 3.0, 4.0], np.float32)
+    a = COO(shape=(600, 128), rows=rows, cols=cols, values=vals)
+    b = np.eye(128, dtype=np.float32)
+    out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True,
+                                           budget_bytes=340_000))
+    assert out[0, 0] == pytest.approx(2.0)
+    assert out[1, 5] == pytest.approx(3.0)
+    assert out[599, 120] == pytest.approx(4.0)
+    assert np.count_nonzero(out) == 3
+
+
+def test_supertiled_plan_structure():
+    a, _ = _rand_coo(600, 300, 0.02, seed=29)
+    plan = panel_spmm.panel_plan_from_container(a, sm=144)
+    assert plan.n_supertiles == 5
+    # supertiles ascending; every supertile present (zero-init coverage)
+    assert (np.diff(plan.st) >= 0).all()
+    assert set(plan.st.tolist()) == set(range(5))
+    # kt sorted within each supertile → B tiles fetched once per supertile
+    for s in range(5):
+        kts = plan.kt[plan.st == s]
+        assert (np.diff(kts) >= 0).all()
+    # offsets local: multiples of tm, at most the local trash strip sm
+    offs = plan.offs.ravel()
+    assert ((offs % plan.tm) == 0).all()
+    assert (offs <= plan.sm).all()

@@ -40,6 +40,26 @@ def test_row_sharded_tile(problem):
     assert allclose(out, ref, 1e-2, 1e-3)
 
 
+def test_row_sharded_panel(problem):
+    a, b, ref = problem
+    mesh = make_mesh((8,), ("rows",))
+    out = np.asarray(spmm_row_sharded(a, b, mesh, local="panel"))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_row_sharded_panel_supertiled(problem):
+    # force a per-shard supertile split: sm < m_local
+    a, b, ref = problem
+    from tpuspmm.parallel.shard import shard_rows_panelplan
+
+    plan = shard_rows_panelplan(a, 4, sm=16)
+    assert plan.n_supertiles > 1
+    mesh = make_mesh((4,), ("rows",))
+    out = np.asarray(spmm_row_sharded(a, b, mesh, local="panel", plan=plan))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
 def test_row_sharded_xla(problem):
     a, b, ref = problem
     mesh = make_mesh((4,), ("rows",))

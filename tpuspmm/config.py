@@ -36,6 +36,13 @@ class Config:
     # here so a (tile_k × tile_n) B panel stays a small fraction of VMEM.
     tile_n_cap: int = 512
 
+    # Panel-kernel geometry (kernels/panel_spmm.py): strips per panel (P).
+    # The panel LHS is (P·tm × tk); larger P halves the grid-step count at
+    # the cost of more padding strips in the stacked plan (large_25605:
+    # P=16 → 555 panels/36 MB, P=32 → 354 panels/46 MB).  Default from
+    # v5e measurement; override per workload or via autotune.
+    panel_strips: int = 16
+
     # VMEM budget for the residency kernels' admission heuristics (staged-B
     # and C-resident) — the TPU analogue of the reference K4 shared-memory
     # fit check (reference/src/spmm/csr/spmm_csr_k4.cu:91-101, MAXSIZE smem

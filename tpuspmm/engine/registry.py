@@ -181,7 +181,8 @@ def _panel(a, b, config):
     from tpuspmm.kernels import panel_spmm
 
     return panel_spmm.spmm_panel(a, b, interpret=config.interpret,
-                                 budget_bytes=config.vmem_budget_bytes)
+                                 budget_bytes=config.vmem_budget_bytes,
+                                 panel_strips=config.panel_strips)
 
 
 def _panel_split(a, b, config):
@@ -189,7 +190,8 @@ def _panel_split(a, b, config):
 
     return panel_spmm.spmm_panel(a, b, interpret=config.interpret,
                                  budget_bytes=config.vmem_budget_bytes,
-                                 mode="split")
+                                 mode="split",
+                                 panel_strips=config.panel_strips)
 
 
 def _panel_ok(a, b, config):
@@ -198,13 +200,18 @@ def _panel_ok(a, b, config):
 
     m_pad = round_up(a.shape[0], 8)
     n_pad = round_up(b.shape[1], 128)
-    if not panel_spmm.fits_vmem_panel(m_pad, n_pad, 8, 128,
-                                      budget_bytes=config.vmem_budget_bytes):
+    # outputs beyond the VMEM budget are row-supertiled; only a problem
+    # too wide for even one strip is inadmissible
+    sm = panel_spmm.pick_supertile_rows(
+        m_pad, n_pad, 8, 128, budget_bytes=config.vmem_budget_bytes)
+    if sm is None:
         return False
     # the stacked dense plan is re-read from HBM every call — admission
     # requires affordable plan bytes (plan is cached on the container, so
     # building it here costs nothing in steady state)
-    plan = panel_spmm.panel_plan_from_container(a)
+    plan = panel_spmm.panel_plan_from_container(
+        a, panel_strips=config.panel_strips,
+        sm=None if sm == m_pad else sm)
     return plan.plan_bytes <= panel_spmm.PLAN_BYTES_CAP
 
 

@@ -70,11 +70,15 @@ class TilePlan:
         once and cached — steady-state calls must not re-pay H2D."""
         cached = getattr(self, "_device_arrays", None)
         if cached is None:
+            import jax
             import jax.numpy as jnp
 
             cached = tuple(jnp.asarray(x) for x in
                            (self.rt, self.kt, self.first,
                             self.rows, self.cols, self.vals))
+            if any(isinstance(x, jax.core.Tracer) for x in cached):
+                # converted under a trace — caching would leak tracers
+                return cached
             object.__setattr__(self, "_device_arrays", cached)
         return cached
 

@@ -103,6 +103,8 @@ def _prep_bsr(a: BSR):
     first[0] = 1
     first[1:] = (rt[1:] != rt[:-1]).astype(np.int32)
     out = tuple(jnp.asarray(x) for x in (rt, kt, first, blocks))
+    if any(isinstance(x, jax.core.Tracer) for x in out):
+        return out  # converted under a trace — caching would leak tracers
     try:
         object.__setattr__(a, "_stream_prep", out)
     except Exception:

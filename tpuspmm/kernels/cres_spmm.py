@@ -254,6 +254,8 @@ def _kmajor_loop(plan: TilePlan):
         jnp.asarray(cols),
         jnp.asarray(vals),
     )
+    if any(isinstance(x, jax.core.Tracer) for x in cached):
+        return cached  # converted under a trace — caching would leak
     object.__setattr__(plan, "_kmajor_loop", cached)
     return cached
 
@@ -303,6 +305,9 @@ def _kmajor_blocks(plan: TilePlan):
         jnp.asarray(np.concatenate(o_vals)),
         len(kt8),
     )
+    if any(isinstance(x, jax.core.Tracer)
+           for x in cached if not isinstance(x, int)):
+        return cached  # converted under a trace — caching would leak
     object.__setattr__(plan, "_kmajor_blocks", cached)
     return cached
 

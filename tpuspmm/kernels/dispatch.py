@@ -128,15 +128,19 @@ def spmm_pallas(a, b, interpret=None, config=None):
         return _densify(a, b)
 
     # panel kernel (plan-time densification): measured fastest gate-exact
-    # strategy whenever the VMEM-resident output fits and the stacked
-    # dense plan is HBM-affordable (large_25605 w256: 0.26 ms vs 0.39
-    # cres / 1.2 tile / 2.0 gather, v5e)
+    # strategy whenever the stacked dense plan is HBM-affordable
+    # (large_25605 w256: 0.26 ms vs 0.39 cres / 1.2 tile / 2.0 gather,
+    # v5e); outputs beyond the VMEM budget are row-supertiled
     from tpuspmm.kernels import panel_spmm
 
     n_pad = round_up(b.shape[1], 128)
-    if panel_spmm.fits_vmem_panel(round_up(m, 8), n_pad, 8, 128,
-                                  budget_bytes=budget):
-        pplan = panel_spmm.panel_plan_from_container(a)
+    m_pad = round_up(m, 8)
+    sm = panel_spmm.pick_supertile_rows(m_pad, n_pad, 8, 128,
+                                        budget_bytes=budget)
+    if sm is not None:
+        pplan = panel_spmm.panel_plan_from_container(
+            a, panel_strips=config.panel_strips,
+            sm=None if sm == m_pad else sm)
         if pplan.plan_bytes <= th["panel_max_plan_bytes"]:
             return panel_spmm.spmm_panel(pplan, b, interpret=interpret,
                                          budget_bytes=budget)

@@ -20,10 +20,18 @@ dense blocks (fill ~1-50%) are re-read every call, so admission requires
 affordable plan bytes; hyper-scattered matrices (≲8 nnz per group) are
 better served by the gather kernels and the autotuner sorts that out.
 
-C stays fully VMEM-resident (same residency rule as cres_spmm) with one
+C stays VMEM-resident (same residency rule as cres_spmm) with one
 extra trash strip at the bottom absorbing panel-padding writes; strip
 offsets are multiples of tm (sublane-aligned — Mosaic lowers aligned
 dynamic *slices*; it is per-element gathers it cannot lower).
+
+Outputs larger than the VMEM budget are handled by **row supertiling**:
+panels are grouped supertile-major (supertile, k-tile) and the output
+block index follows a scalar-prefetched per-panel supertile id, so each
+(sm+tm)-row output slab is visited by one contiguous run of panels,
+zero-initialised when the slab changes, and flushed to HBM when the run
+ends.  Each supertile carries its own local trash strip.  The cost is
+one extra streaming pass over B per supertile.
 
 This strategy replaces what the reference could not do at all: its BSR
 path requires pre-blocked inputs with degenerate 1×1 blocks
@@ -54,15 +62,21 @@ PLAN_BYTES_CAP = 512 * 1024 * 1024
 class PanelPlan:
     """Plan-time densification of a sparse matrix into MXU panels."""
 
-    kt: np.ndarray       # (n_panels,) int32 — k-tile id per panel (sorted)
-    offs: np.ndarray     # (n_panels, P) int32 — C row offset per strip;
-    #                      padding strips point at the trash strip (m_pad)
+    kt: np.ndarray       # (n_panels,) int32 — k-tile id per panel
+    #                      (sorted within each supertile)
+    st: np.ndarray       # (n_panels,) int32 — row-supertile id per panel
+    #                      (sorted ascending; every supertile appears)
+    offs: np.ndarray     # (n_panels, P) int32 — supertile-LOCAL C row
+    #                      offset per strip; padding strips point at the
+    #                      local trash strip (sm)
     a_dense: np.ndarray  # (n_panels · P · tm, tk) f32 — stacked strips
 
     shape: Tuple[int, int]
     tm: int
     tk: int
     panel_strips: int  # P
+    sm: int            # supertile rows (multiple of tm); == m_pad when
+    #                    the whole output is one supertile
 
     @property
     def n_panels(self) -> int:
@@ -73,6 +87,10 @@ class PanelPlan:
         return round_up(self.shape[0], self.tm)
 
     @property
+    def n_supertiles(self) -> int:
+        return -(-self.m_pad // self.sm)
+
+    @property
     def num_k_tiles(self) -> int:
         return -(-self.shape[1] // self.tk)
 
@@ -81,11 +99,16 @@ class PanelPlan:
         return int(self.a_dense.nbytes)
 
     def device_arrays(self):
-        """(kt, offs, a_dense) on device — transferred once, cached."""
+        """(kt, st, offs, a_dense) on device — transferred once, cached."""
         cached = getattr(self, "_device_arrays", None)
         if cached is None:
             cached = tuple(jnp.asarray(x) for x in
-                           (self.kt, self.offs, self.a_dense))
+                           (self.kt, self.st, self.offs, self.a_dense))
+            if any(isinstance(x, jax.core.Tracer) for x in cached):
+                # first call happened under a trace: the converted values
+                # are tracers scoped to that trace — caching them would
+                # leak into later traces (UnexpectedTracerError)
+                return cached
             object.__setattr__(self, "_device_arrays", cached)
         return cached
 
@@ -98,10 +121,13 @@ def build_panel_plan(
     tm: int = 8,
     tk: int = 128,
     panel_strips: int = 16,
+    sm: int | None = None,
 ) -> PanelPlan:
-    """Group triplets by (row-strip, k-tile), kt-major; densify each group
-    into a (tm × tk) strip; pad each k-tile's strip list to a multiple of
-    P so every panel is a single (P·tm × tk) dense LHS."""
+    """Group triplets by (supertile, k-tile, row-strip), supertile-major
+    then kt-major; densify each group into a (tm × tk) strip; pad each
+    (supertile, k-tile)'s strip list to a multiple of P so every panel is
+    a single (P·tm × tk) dense LHS.  ``sm`` (supertile rows, multiple of
+    tm) defaults to the whole padded output — one supertile."""
     if tm % 8:
         raise ValueError("tm must be a multiple of 8 (sublane alignment)")
     P = panel_strips
@@ -110,15 +136,23 @@ def build_panel_plan(
     vals = np.asarray(vals, dtype=np.float32)
     m, k = shape
     m_pad = round_up(m, tm)
+    if sm is None:
+        sm = m_pad
+    if sm % tm or sm <= 0:
+        raise ValueError("sm must be a positive multiple of tm")
+    n_st = max(1, -(-m_pad // sm))
+    strips_per_st = sm // tm
 
     rt = rows // tm
     ktile = cols // tk
+    stile = rt // strips_per_st
     nrt = -(-m // tm)
-    order = np.lexsort((rt, ktile))  # kt-major, then row-strip
+    nkt = -(-k // tk)
+    order = np.lexsort((rt, ktile, stile))  # supertile-, then kt-major
     rows, cols, vals = rows[order], cols[order], vals[order]
-    rt, ktile = rt[order], ktile[order]
+    rt, ktile, stile = rt[order], ktile[order], stile[order]
 
-    group_key = ktile * nrt + rt
+    group_key = (stile * nkt + ktile) * nrt + rt
     if len(group_key):
         gb = np.flatnonzero(np.diff(group_key)) + 1
         starts = np.concatenate([[0], gb]).astype(np.int64)
@@ -126,32 +160,37 @@ def build_panel_plan(
         starts = np.zeros(0, dtype=np.int64)
     g_rt = rt[starts] if len(starts) else np.zeros(0, np.int64)
     g_kt = ktile[starts] if len(starts) else np.zeros(0, np.int64)
+    g_st = stile[starts] if len(starts) else np.zeros(0, np.int64)
     n_groups = len(starts)
 
-    if n_groups == 0:  # empty matrix: one all-trash panel against tile 0
-        kt_arr = np.zeros(1, np.int32)
-        offs = np.full((1, P), m_pad, np.int32)
-        a_dense = np.zeros((P * tm, tk), np.float32)
-        return PanelPlan(kt=kt_arr, offs=offs, a_dense=a_dense,
-                         shape=tuple(shape), tm=tm, tk=tk, panel_strips=P)
+    if n_groups == 0:  # empty matrix: one all-trash panel per supertile
+        kt_arr = np.zeros(n_st, np.int32)
+        st_arr = np.arange(n_st, dtype=np.int32)
+        offs = np.full((n_st, P), sm, np.int32)
+        a_dense = np.zeros((n_st * P * tm, tk), np.float32)
+        return PanelPlan(kt=kt_arr, st=st_arr, offs=offs, a_dense=a_dense,
+                         shape=tuple(shape), tm=tm, tk=tk, panel_strips=P,
+                         sm=sm)
 
-    # per-k-tile group counts, padded to multiples of P
-    kts_unique, kt_counts = np.unique(g_kt, return_counts=True)
-    padded = (-(-kt_counts // P)) * P
-    kt_start = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    # per-(supertile, k-tile) group counts, padded to multiples of P
+    pair_key = g_st * nkt + g_kt
+    pairs_unique, pair_counts = np.unique(pair_key, return_counts=True)
+    padded = (-(-pair_counts // P)) * P
+    pair_start = np.concatenate([[0], np.cumsum(padded)[:-1]])
     n_strips = int(padded.sum())
     n_panels = n_strips // P
 
-    # strip slot per group: groups are kt-major sorted, so within a k-tile
-    # they occupy consecutive ranks
-    kt_index = np.searchsorted(kts_unique, g_kt)
-    first_of_kt = np.concatenate([[0], np.cumsum(kt_counts)[:-1]])
-    rank_in_kt = np.arange(n_groups) - first_of_kt[kt_index]
-    slot = (kt_start[kt_index] + rank_in_kt).astype(np.int64)
+    # strip slot per group: groups are (st, kt)-major sorted, so within a
+    # (supertile, k-tile) pair they occupy consecutive ranks
+    pair_index = np.searchsorted(pairs_unique, pair_key)
+    first_of_pair = np.concatenate([[0], np.cumsum(pair_counts)[:-1]])
+    rank_in_pair = np.arange(n_groups) - first_of_pair[pair_index]
+    slot = (pair_start[pair_index] + rank_in_pair).astype(np.int64)
 
-    kt_arr = np.repeat(kts_unique, padded // P).astype(np.int32)
-    offs = np.full(n_strips, m_pad, np.int32)  # default: trash strip
-    offs[slot] = (g_rt * tm).astype(np.int32)
+    kt_arr = np.repeat(pairs_unique % nkt, padded // P).astype(np.int32)
+    st_arr = np.repeat(pairs_unique // nkt, padded // P).astype(np.int32)
+    offs = np.full(n_strips, sm, np.int32)  # default: local trash strip
+    offs[slot] = (g_rt * tm - g_st * sm).astype(np.int32)
     offs = offs.reshape(n_panels, P)
 
     # densify: scatter triplets into their strip (duplicates accumulate,
@@ -165,15 +204,31 @@ def build_panel_plan(
     np.add.at(a_dense, flat, vals)
     a_dense = a_dense.reshape(n_strips * tm, tk)
 
-    return PanelPlan(kt=kt_arr, offs=offs, a_dense=a_dense,
-                     shape=tuple(shape), tm=tm, tk=tk, panel_strips=P)
+    # every supertile must appear so its output slab gets zero-initialised
+    # and flushed — append an all-trash panel for empty supertiles
+    missing = np.setdiff1d(np.arange(n_st), st_arr)
+    if len(missing):
+        kt_arr = np.concatenate([kt_arr, np.zeros(len(missing), np.int32)])
+        st_arr = np.concatenate([st_arr, missing.astype(np.int32)])
+        offs = np.concatenate([offs, np.full((len(missing), P), sm,
+                                             np.int32)])
+        a_dense = np.concatenate(
+            [a_dense, np.zeros((len(missing) * P * tm, tk), np.float32)])
+        perm = np.lexsort((kt_arr, st_arr))
+        kt_arr, st_arr, offs = kt_arr[perm], st_arr[perm], offs[perm]
+        a_dense = a_dense.reshape(-1, P * tm, tk)[perm].reshape(-1, tk)
+
+    return PanelPlan(kt=kt_arr, st=st_arr, offs=offs, a_dense=a_dense,
+                     shape=tuple(shape), tm=tm, tk=tk, panel_strips=P,
+                     sm=sm)
 
 
 def panel_plan_from_container(a, tm: int = 8, tk: int = 128,
-                              panel_strips: int = 16) -> PanelPlan:
+                              panel_strips: int = 16,
+                              sm: int | None = None) -> PanelPlan:
     """Build (or fetch the cached) PanelPlan for a container — serving
     steady state pays the densification and H2D transfer once."""
-    key = ("panel", tm, tk, panel_strips)
+    key = ("panel", tm, tk, panel_strips, sm)
     cache = getattr(a, "_plan_cache", None)
     if cache is None:
         cache = {}
@@ -188,7 +243,7 @@ def panel_plan_from_container(a, tm: int = 8, tk: int = 128,
     coo = coo_view(a)
     plan = build_panel_plan(
         np.asarray(coo.rows), np.asarray(coo.cols), np.asarray(coo.values),
-        coo.shape, tm=tm, tk=tk, panel_strips=panel_strips)
+        coo.shape, tm=tm, tk=tk, panel_strips=panel_strips, sm=sm)
     if cache is not None:
         cache[key] = plan
     return plan
@@ -202,10 +257,31 @@ def fits_vmem_panel(m_pad: int, n_pad: int, tm: int, tk: int,
     return out_bytes + panel_bytes + b_bytes <= budget_bytes
 
 
-def _kernel(kt_ref, offs_ref, a_ref, b_ref, out_ref, *, tm, P, mode):
+def pick_supertile_rows(m_pad: int, n_pad: int, tm: int, tk: int,
+                        budget_bytes: int = 8 * 1024 * 1024) -> int | None:
+    """Largest supertile row count (multiple of tm) whose output slab +
+    streaming buffers fit the VMEM budget; m_pad when the whole output
+    fits (single supertile); None when even one strip does not fit."""
+    if fits_vmem_panel(m_pad, n_pad, tm, tk, budget_bytes):
+        return m_pad
+    panel_bytes = 2 * (16 * tm) * tk * 4
+    b_bytes = 2 * tk * n_pad * 4
+    avail = budget_bytes - panel_bytes - b_bytes
+    sm = (avail // (n_pad * 4) - tm) // tm * tm
+    if sm < tm:
+        return None
+    return min(sm, m_pad)
+
+
+def _kernel(kt_ref, offs_ref, st_ref, a_ref, b_ref, out_ref, *, tm, P, mode):
     p = pl.program_id(0)
 
-    @pl.when(p == 0)
+    # zero-init each output slab on its first panel (panels are sorted
+    # supertile-major, so each slab is one contiguous run of grid steps)
+    first = jnp.logical_or(
+        p == 0, st_ref[p] != st_ref[jnp.maximum(p - 1, 0)])
+
+    @pl.when(first)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -250,40 +326,48 @@ def _kernel(kt_ref, offs_ref, a_ref, b_ref, out_ref, *, tm, P, mode):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tm", "tk", "panel_strips", "m_pad", "interpret", "mode"),
+    static_argnames=("tm", "tk", "panel_strips", "sm", "n_st",
+                     "interpret", "mode"),
 )
-def _panel_spmm(kt, offs, a_dense, b_padded,
-                *, tm, tk, panel_strips, m_pad, interpret, mode="highest"):
+def _panel_spmm(kt, st, offs, a_dense, b_padded,
+                *, tm, tk, panel_strips, sm, n_st, interpret,
+                mode="highest"):
     P = panel_strips
     n_pad = b_padded.shape[1]
     n_panels = kt.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # kt (per panel), offs (per strip)
+        num_scalar_prefetch=3,  # kt (per panel), offs (per strip), st
         grid=(n_panels,),
         in_specs=[
-            pl.BlockSpec((P * tm, tk), lambda p, kt_ref, offs_ref: (p, 0)),
-            # panels are kt-sorted → each B tile is fetched once
+            pl.BlockSpec((P * tm, tk),
+                         lambda p, kt_ref, offs_ref, st_ref: (p, 0)),
+            # panels are kt-sorted within a supertile → each B tile is
+            # fetched once per supertile
             pl.BlockSpec((tk, n_pad),
-                         lambda p, kt_ref, offs_ref: (kt_ref[p], 0)),
+                         lambda p, kt_ref, offs_ref, st_ref:
+                         (kt_ref[p], 0)),
         ],
-        out_specs=pl.BlockSpec((m_pad + tm, n_pad),
-                               lambda p, kt_ref, offs_ref: (0, 0)),
+        # output slab revisited by the panel run of its supertile
+        out_specs=pl.BlockSpec((sm + tm, n_pad),
+                               lambda p, kt_ref, offs_ref, st_ref:
+                               (st_ref[p], 0)),
     )
 
     passes = 3 if mode == "split" else 6
     flops = 2 * n_panels * P * tm * tk * n_pad * passes // 6
     bytes_accessed = (a_dense.size * 4 + n_panels * tk * n_pad * 4
-                      + (m_pad + tm) * n_pad * 4)
+                      + n_st * (sm + tm) * n_pad * 4)
     out = pl.pallas_call(
         functools.partial(_kernel, tm=tm, P=P, mode=mode),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m_pad + tm, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_st * (sm + tm), n_pad),
+                                       jnp.float32),
         cost_estimate=pl.CostEstimate(flops=flops,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
         interpret=interpret,
-    )(kt, offs, a_dense, b_padded)
+    )(kt, offs, st, a_dense, b_padded)
     return out
 
 
@@ -295,22 +379,40 @@ def spmm_panel(a_or_plan, b, interpret=None,
 
     ``mode``: "highest" (dense f32 MXU matmul, gate-exact — the default)
     or "split" (3 bf16 passes, ~2^-16 — verified-only tier).
+
+    Outputs larger than the VMEM budget are row-supertiled (the plan is
+    rebuilt supertile-major); only an output narrower than one strip's
+    worth of budget is refused.
     """
-    plan = (a_or_plan if isinstance(a_or_plan, PanelPlan)
-            else panel_plan_from_container(a_or_plan, tm=tm, tk=tk,
-                                           panel_strips=panel_strips))
-    m, k = plan.shape
     n = int(b.shape[1])
     n_pad = round_up(n, 128)
-    if not fits_vmem_panel(plan.m_pad, n_pad, plan.tm, plan.tk, budget_bytes):
+    if isinstance(a_or_plan, PanelPlan):
+        plan = a_or_plan
+    else:
+        m_pad = round_up(a_or_plan.shape[0], tm)
+        sm = pick_supertile_rows(m_pad, n_pad, tm, tk, budget_bytes)
+        if sm is None:
+            raise ValueError(
+                f"even one {tm}-row output strip of width {n_pad} exceeds "
+                "the VMEM residency budget; use spmm_tiles")
+        plan = panel_plan_from_container(
+            a_or_plan, tm=tm, tk=tk, panel_strips=panel_strips,
+            sm=None if sm == m_pad else sm)
+    m, k = plan.shape
+    if not fits_vmem_panel(plan.sm, n_pad, plan.tm, plan.tk, budget_bytes):
         raise ValueError(
-            f"output ({plan.m_pad}x{n_pad}) exceeds the VMEM residency "
-            "budget; use spmm_tiles")
+            f"output slab ({plan.sm}x{n_pad}) exceeds the VMEM residency "
+            "budget; rebuild the plan with a smaller sm or use spmm_tiles")
     k_pad = plan.num_k_tiles * plan.tk
     b_padded = pad_b(jnp.asarray(b), k_pad, n_pad)
-    kt, offs, a_dense = plan.device_arrays()
+    kt, st, offs, a_dense = plan.device_arrays()
+    n_st = plan.n_supertiles
     out = _panel_spmm(
-        kt, offs, a_dense, b_padded,
+        kt, st, offs, a_dense, b_padded,
         tm=plan.tm, tk=plan.tk, panel_strips=plan.panel_strips,
-        m_pad=plan.m_pad, interpret=should_interpret(interpret), mode=mode)
+        sm=plan.sm, n_st=n_st, interpret=should_interpret(interpret),
+        mode=mode)
+    if n_st > 1:
+        out = out.reshape(n_st, plan.sm + plan.tm, n_pad)[:, :plan.sm, :]
+        out = out.reshape(n_st * plan.sm, n_pad)
     return out[:m, :n]

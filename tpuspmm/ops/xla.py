@@ -105,7 +105,16 @@ def _cached_device(a, key: str, build):
         except Exception:
             return build()
     if key not in cache:
-        cache[key] = build()
+        import jax
+
+        built = build()
+        leaves = jax.tree_util.tree_leaves(built)
+        if any(isinstance(x, jax.core.Tracer) for x in leaves):
+            # built under a trace (e.g. inside a chained timing loop):
+            # caching trace-scoped tracers would leak them into later
+            # traces — serve without caching
+            return built
+        cache[key] = built
     return cache[key]
 
 

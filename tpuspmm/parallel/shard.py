@@ -140,6 +140,85 @@ def shard_rows_tileplan_transposed(a, n_shards: int, tile_m: int = 128,
 
 
 @dataclasses.dataclass(frozen=True)
+class RowShardedPanelPlan:
+    """Per-shard panel plans (kernels/panel_spmm.py) stacked for shard_map:
+    every shard's plan is padded to the max panel count with all-trash
+    panels (st pinned to the last supertile so the slab-change zero-init
+    logic is untouched), then concatenated along the leading axis."""
+
+    kt: np.ndarray       # (n_shards · panels_per_shard,) int32
+    st: np.ndarray       # (n_shards · panels_per_shard,) int32
+    offs: np.ndarray     # (n_shards · panels_per_shard, P) int32
+    a_dense: np.ndarray  # (n_shards · panels_per_shard · P · tm, tk) f32
+
+    shape: Tuple[int, int]
+    n_shards: int
+    m_local: int          # padded rows per shard (multiple of tm)
+    panels_per_shard: int
+    tm: int
+    tk: int
+    panel_strips: int
+    sm: int               # supertile rows (≤ m_local)
+
+    @property
+    def n_supertiles(self) -> int:
+        return cdiv(self.m_local, self.sm)
+
+    @property
+    def plan_bytes(self) -> int:
+        return int(self.a_dense.nbytes)
+
+
+def shard_rows_panelplan(a, n_shards: int, tm: int = 8, tk: int = 128,
+                         panel_strips: int = 16,
+                         sm: int | None = None) -> RowShardedPanelPlan:
+    """Split A into ``n_shards`` row slabs and build a PanelPlan per slab
+    (plan-time densification into MXU panels), padded to a uniform panel
+    count so the stack shards evenly over the mesh axis."""
+    from tpuspmm.kernels.panel_spmm import build_panel_plan
+
+    P = panel_strips
+    rows, cols, vals, (m, k) = _to_coo_arrays(a)
+    m_local = round_up(cdiv(m, n_shards), tm)
+    if sm is not None:
+        sm = min(sm, m_local)
+
+    plans = []
+    for s in range(n_shards):
+        lo, hi = s * m_local, min((s + 1) * m_local, m)
+        sel = (rows >= lo) & (rows < hi)
+        plans.append(
+            build_panel_plan(rows[sel] - lo, cols[sel], vals[sel],
+                             (m_local, k), tm=tm, tk=tk, panel_strips=P,
+                             sm=sm))
+    sm_eff = plans[0].sm
+    n_st = plans[0].n_supertiles
+    n_panels = max(p.n_panels for p in plans)
+
+    kt_parts, st_parts, offs_parts, dense_parts = [], [], [], []
+    for p in plans:
+        pad = n_panels - p.n_panels
+        kt_parts.append(np.concatenate(
+            [p.kt, np.zeros(pad, np.int32)]) if pad else p.kt)
+        # trash panels ride the LAST supertile: st stays monotone and the
+        # slab-change zero-init never re-fires
+        st_parts.append(np.concatenate(
+            [p.st, np.full(pad, n_st - 1, np.int32)]) if pad else p.st)
+        offs_parts.append(np.concatenate(
+            [p.offs, np.full((pad, P), sm_eff, np.int32)]) if pad else p.offs)
+        dense_parts.append(np.concatenate(
+            [p.a_dense, np.zeros((pad * P * tm, tk), np.float32)])
+            if pad else p.a_dense)
+
+    return RowShardedPanelPlan(
+        kt=np.concatenate(kt_parts), st=np.concatenate(st_parts),
+        offs=np.concatenate(offs_parts),
+        a_dense=np.concatenate(dense_parts),
+        shape=(m, k), n_shards=n_shards, m_local=m_local,
+        panels_per_shard=n_panels, tm=tm, tk=tk, panel_strips=P, sm=sm_eff)
+
+
+@dataclasses.dataclass(frozen=True)
 class KBucketedTriplets:
     """Per (row-shard, k-shard) triplet buckets, sentinel-padded."""
 
