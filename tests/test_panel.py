@@ -177,6 +177,25 @@ def test_supertiled_empty_supertile_is_zero():
     assert np.count_nonzero(out) == 3
 
 
+def test_dispatch_serves_supertiled_panel():
+    # a large-M, hyper-sparse problem whose output exceeds a small VMEM
+    # budget must still route to the panel kernel (supertiled), not fall
+    # back — and produce the right answer
+    from tpuspmm.config import Config
+    from tpuspmm.kernels import dispatch
+
+    a, _ = _rand_coo(600, 300, 0.002, seed=41)
+    rng = np.random.default_rng(9)
+    b = rng.uniform(-1, 1, (300, 40)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    cfg = Config(interpret=True, vmem_budget_bytes=340_000)
+    out = np.asarray(dispatch.spmm_pallas(a, b, interpret=True, config=cfg))
+    assert allclose(out, ref, cfg.rel_tol, cfg.abs_tol)
+    # the admission path actually built a supertiled plan
+    plans = getattr(a, "_plan_cache", {})
+    assert any(k[0] == "panel" and k[4] is not None for k in plans), plans.keys()
+
+
 def test_supertiled_plan_structure():
     a, _ = _rand_coo(600, 300, 0.02, seed=29)
     plan = panel_spmm.panel_plan_from_container(a, sm=144)
