@@ -145,15 +145,16 @@ def test_device_cache_survives_tracing():
 
 def test_supertiled_matches_oracle():
     # output larger than the budget → row supertiling (n_st > 1); the
-    # budget below yields sm = 144 for n_pad 128 → 5 supertiles over 600
-    # padded rows
+    # budget below only fits a P=8 panel buffer, so admission degrades P
+    # and supertiles the 600 padded rows
     a, _ = _rand_coo(600, 300, 0.01, seed=23)
     rng = np.random.default_rng(3)
     b = rng.uniform(-1, 1, (300, 70)).astype(np.float32)
     ref = oracle.spmm_oracle(a, b)
     budget = 340_000
     sm = panel_spmm.pick_supertile_rows(600, 128, 8, 128,
-                                        budget_bytes=budget)
+                                        budget_bytes=budget,
+                                        panel_strips=8)
     assert sm is not None and 8 <= sm < 600
     out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True,
                                            budget_bytes=budget))
@@ -175,6 +176,85 @@ def test_supertiled_empty_supertile_is_zero():
     assert out[1, 5] == pytest.approx(3.0)
     assert out[599, 120] == pytest.approx(4.0)
     assert np.count_nonzero(out) == 3
+
+
+def test_row_reordering_triggers_and_matches_oracle():
+    # even rows hit k-tile 0, odd rows k-tile 3: natural octets straddle
+    # both tiles (2 strips each) while a centroid sort separates them
+    # (1 strip each) — the ordering chooser must find the perm (gather
+    # uncharged here; on-chip the dispatch-table perm_us gates it) and
+    # the un-permuted output must still match the oracle
+    rng = np.random.default_rng(43)
+    m, k, per_row = 512, 512, 6
+    rows = np.repeat(np.arange(m, dtype=np.int32), per_row)
+    cols = np.where(
+        (rows % 2) == 0,
+        rng.integers(0, 128, m * per_row),
+        rng.integers(384, 512, m * per_row)).astype(np.int32)
+    vals = rng.uniform(-10, 10, m * per_row).astype(np.float32)
+    a = COO(shape=(m, k), rows=rows, cols=cols, values=vals)
+    perm = panel_spmm.choose_row_order(rows, cols, m, k)
+    assert perm is not None
+    plan = panel_spmm.build_panel_plan(rows, cols, vals, (m, k),
+                                       row_perm=perm)
+    unordered = panel_spmm.panel_plan_from_container(a, reorder_rows=False)
+    assert plan.plan_bytes < unordered.plan_bytes
+    b = rng.uniform(-1, 1, (k, 40)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    out = np.asarray(panel_spmm.spmm_panel(plan, b, interpret=True))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+    # supertiled + reordered together
+    plan2 = panel_spmm.build_panel_plan(rows, cols, vals, (m, k),
+                                        row_perm=perm, sm=128,
+                                        panel_strips=8)
+    out2 = np.asarray(panel_spmm.spmm_panel(plan2, b, interpret=True,
+                                            budget_bytes=330_000))
+    assert allclose(out2, ref, CFG.rel_tol, CFG.abs_tol)
+    # with the on-chip gather charge, a tiny matrix must NOT reorder
+    geom = panel_spmm.choose_panel_geometry(rows, cols, m, k,
+                                            perm_us=1e6)
+    assert geom[1] is None
+
+
+def test_auto_geometry_prefers_large_p_when_step_bound():
+    # 64 octets per k-tile: padding is identical at every P ≤ 64, so the
+    # cost model must take the largest P (fewest grid steps)
+    rng = np.random.default_rng(7)
+    m, k = 8192, 2048   # 1024 octets, 16 k-tiles, 64 octets each
+    rows = np.arange(m, dtype=np.int64)
+    cols = (rows // 512) * 128 + rng.integers(0, 128, m)
+    P, perm = panel_spmm.choose_panel_geometry(rows, cols, m, k)
+    assert P == max(panel_spmm.STRIP_CANDIDATES)
+    # plan-bandwidth-bound shape: huge plan, few panels per k-tile —
+    # larger P only adds padding, the chooser must keep P small
+    rows2 = np.repeat(np.arange(m, dtype=np.int64), 16)
+    cols2 = rng.integers(0, k, m * 16)
+    P2, _ = panel_spmm.choose_panel_geometry(rows2, cols2, m, k,
+                                             step_us=0.0)
+    assert P2 <= 16
+
+
+def test_admit_panel_degrades_p_under_tight_budget():
+    # resolved P=64 (scattered), but the budget only fits a P≤16 panel
+    # buffer: admission must shrink P, not refuse
+    rng = np.random.default_rng(11)
+    m, k = 8192, 2048
+    rows = np.arange(m, dtype=np.int32)
+    cols = ((rows // 512) * 128 + rng.integers(0, 128, m)).astype(np.int32)
+    vals = rng.uniform(-1, 1, m).astype(np.float32)
+    a = COO(shape=(m, k), rows=rows, cols=cols, values=vals)
+    P, _ = panel_spmm.resolve_panel_strips(a)
+    assert P == max(panel_spmm.STRIP_CANDIDATES)
+    budget = 400_000  # P=64 buffer alone is 512 KiB
+    adm = panel_spmm.admit_panel(a, 128, budget_bytes=budget)
+    assert adm is not None
+    strips_arg, sm_arg = adm
+    assert strips_arg is not None and strips_arg < 64
+    b = rng.uniform(-1, 1, (k, 8)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True,
+                                           budget_bytes=budget))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
 
 
 def test_dispatch_serves_supertiled_panel():

@@ -37,11 +37,13 @@ class Config:
     tile_n_cap: int = 512
 
     # Panel-kernel geometry (kernels/panel_spmm.py): strips per panel (P).
-    # The panel LHS is (P·tm × tk); larger P halves the grid-step count at
+    # The panel LHS is (P·tm × tk); larger P cuts the grid-step count at
     # the cost of more padding strips in the stacked plan (large_25605:
-    # P=16 → 555 panels/36 MB, P=32 → 354 panels/46 MB).  Default from
-    # v5e measurement; override per workload or via autotune.
-    panel_strips: int = 16
+    # P=16 → 555 panels/36 MB, P=32 → 354 panels/46 MB).  None (default)
+    # auto-picks per matrix via the cost model in
+    # panel_spmm.choose_panel_geometry with per-chip constants; set an
+    # int to pin it.
+    panel_strips: Optional[int] = None
 
     # VMEM budget for the residency kernels' admission heuristics (staged-B
     # and C-resident) — the TPU analogue of the reference K4 shared-memory

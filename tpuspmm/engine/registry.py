@@ -198,20 +198,20 @@ def _panel_ok(a, b, config):
     from tpuspmm.kernels import panel_spmm
     from tpuspmm.kernels.common import round_up
 
-    m_pad = round_up(a.shape[0], 8)
     n_pad = round_up(b.shape[1], 128)
     # outputs beyond the VMEM budget are row-supertiled; only a problem
-    # too wide for even one strip is inadmissible
-    sm = panel_spmm.pick_supertile_rows(
-        m_pad, n_pad, 8, 128, budget_bytes=config.vmem_budget_bytes)
-    if sm is None:
+    # too wide for even one strip is inadmissible (admit_panel shrinks P
+    # under tight budgets before giving up)
+    adm = panel_spmm.admit_panel(a, n_pad,
+                                 panel_strips=config.panel_strips,
+                                 budget_bytes=config.vmem_budget_bytes)
+    if adm is None:
         return False
     # the stacked dense plan is re-read from HBM every call — admission
     # requires affordable plan bytes (plan is cached on the container, so
     # building it here costs nothing in steady state)
     plan = panel_spmm.panel_plan_from_container(
-        a, panel_strips=config.panel_strips,
-        sm=None if sm == m_pad else sm)
+        a, panel_strips=adm[0], sm=adm[1])
     return plan.plan_bytes <= panel_spmm.PLAN_BYTES_CAP
 
 

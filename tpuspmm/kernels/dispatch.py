@@ -36,22 +36,45 @@ from tpuspmm.kernels.common import round_up
 # kernels win sooner where flops are cheaper relative to HBM) — refit when
 # that hardware is in the loop.
 _CHIP_THRESHOLDS = {
+    # panel_step_us / panel_hbm_gbps / panel_gather_gbps feed the panel
+    # geometry cost model (panel_spmm.choose_panel_geometry):
+    # per-grid-step overhead, EFFECTIVE plan-stream bandwidth (well below
+    # HBM peak — the plan interleaves with B-tile refetches and the
+    # output-scatter slices), and the effective bandwidth of the XLA row
+    # gather that un-permutes a row-reordered output.  v5e values fitted
+    # to the corpus P-sweep (large_25605/21074/20000 at P∈{8,16,32,64};
+    # model picks match the measured winners on all three) and a direct
+    # m=20000 row-gather measurement (0.107 ms ⇒ ~383 GB/s; 300 kept as
+    # margin).  v5p/v4 bandwidths scaled by nominal HBM ratio; step
+    # overhead kept (fixed per-step cost, not bandwidth-bound).
     "v5e": {"densify_max_bytes": 128 * 1024 * 1024,
             "densify_min_density": 0.004,
             "tile_min_nnz_per_chunk": 40.0,
-            "panel_max_plan_bytes": 128 * 1024 * 1024},
+            "panel_max_plan_bytes": 128 * 1024 * 1024,
+            "panel_step_us": 0.17,
+            "panel_hbm_gbps": 250.0,
+            "panel_gather_gbps": 300.0},
     "v5p": {"densify_max_bytes": 256 * 1024 * 1024,
             "densify_min_density": 0.003,
             "tile_min_nnz_per_chunk": 32.0,
-            "panel_max_plan_bytes": 256 * 1024 * 1024},
+            "panel_max_plan_bytes": 256 * 1024 * 1024,
+            "panel_step_us": 0.17,
+            "panel_hbm_gbps": 750.0,
+            "panel_gather_gbps": 900.0},
     "v4": {"densify_max_bytes": 128 * 1024 * 1024,
            "densify_min_density": 0.004,
            "tile_min_nnz_per_chunk": 36.0,
-           "panel_max_plan_bytes": 128 * 1024 * 1024},
+           "panel_max_plan_bytes": 128 * 1024 * 1024,
+           "panel_step_us": 0.17,
+           "panel_hbm_gbps": 375.0,
+           "panel_gather_gbps": 450.0},
     "cpu": {"densify_max_bytes": 128 * 1024 * 1024,
             "densify_min_density": 0.004,
             "tile_min_nnz_per_chunk": 40.0,
-            "panel_max_plan_bytes": 128 * 1024 * 1024},
+            "panel_max_plan_bytes": 128 * 1024 * 1024,
+            "panel_step_us": 0.17,
+            "panel_hbm_gbps": 250.0,
+            "panel_gather_gbps": 300.0},
 }
 
 _thresholds_cache = None
@@ -134,13 +157,12 @@ def spmm_pallas(a, b, interpret=None, config=None):
     from tpuspmm.kernels import panel_spmm
 
     n_pad = round_up(b.shape[1], 128)
-    m_pad = round_up(m, 8)
-    sm = panel_spmm.pick_supertile_rows(m_pad, n_pad, 8, 128,
-                                        budget_bytes=budget)
-    if sm is not None:
+    adm = panel_spmm.admit_panel(a, n_pad,
+                                 panel_strips=config.panel_strips,
+                                 budget_bytes=budget)
+    if adm is not None:
         pplan = panel_spmm.panel_plan_from_container(
-            a, panel_strips=config.panel_strips,
-            sm=None if sm == m_pad else sm)
+            a, panel_strips=adm[0], sm=adm[1])
         if pplan.plan_bytes <= th["panel_max_plan_bytes"]:
             return panel_spmm.spmm_panel(pplan, b, interpret=interpret,
                                          budget_bytes=budget)

@@ -77,6 +77,11 @@ class PanelPlan:
     panel_strips: int  # P
     sm: int            # supertile rows (multiple of tm); == m_pad when
     #                    the whole output is one supertile
+    row_perm: np.ndarray | None = None  # (m,) — original row placed at
+    #                    permuted position j is row_perm[j]; the kernel
+    #                    computes the permuted C, un-permuted on return.
+    #                    Chosen at plan time to cluster rows sharing
+    #                    k-tiles into octets (raises plan fill).
 
     @property
     def n_panels(self) -> int:
@@ -113,6 +118,126 @@ class PanelPlan:
         return cached
 
 
+def _ktile_strip_counts(rows, ktile, nkt: int, tm: int) -> np.ndarray:
+    """Per-k-tile count of occupied (row-octet, k-tile) groups — the
+    unpadded strip histogram a candidate row order produces."""
+    g = np.unique((rows // tm) * nkt + ktile)
+    _, cnt = np.unique(g % nkt, return_counts=True)
+    return cnt
+
+
+def _padded_strips(cnt: np.ndarray, P: int) -> int:
+    """Total strips after padding each k-tile's list to a multiple of P."""
+    return int(((-(-cnt // P)) * P).sum())
+
+
+def _order_candidates(rows, cols, m: int, ktile):
+    """Candidate row permutations: column-centroid sort and
+    (first k-tile, centroid) lexsort — both cluster rows sharing k-tiles
+    into the same octet so their nonzeros densify together."""
+    cent = np.zeros(m)
+    num = np.zeros(m)
+    np.add.at(cent, rows, cols)
+    np.add.at(num, rows, 1)
+    cent = np.where(num > 0, cent / np.maximum(num, 1), np.inf)
+    first = np.full(m, np.inf)
+    np.minimum.at(first, rows, ktile)
+    return (np.argsort(cent, kind="stable"), np.lexsort((cent, first)))
+
+
+def choose_row_order(rows, cols, m: int, k: int, tm: int = 8,
+                     tk: int = 128, P: int = 16,
+                     perm_us: float = 0.0, hbm_gbps: float = 250.0):
+    """Pick the candidate row ordering that minimises the modelled plan
+    read time at fixed P: rows sharing k-tiles clustered into the same
+    octet densify together (fewer padded strips = fewer plan bytes).
+    ``perm_us`` charges the serve-time cost of un-permuting C (an XLA
+    row gather — ~300 GB/s effective on v5e, 0.107 ms for a 20000×256
+    C), so an ordering only wins when its plan savings dominate the
+    gather.  Measured on the corpus the natural order wins for
+    incidence-structured matrices (large_25605) while first+centroid
+    cuts medium_4096's plan 36% and serve time 31% (0.212→0.146 ms).
+    Returns a permutation (original row at permuted position j is
+    perm[j]) or None when no candidate beats natural by ≥5%."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    if len(rows) == 0 or m <= tm:
+        return None
+    nkt = max(1, -(-k // tk))
+    ktile = cols // tk
+    us_per_strip = tm * tk * 4 / (hbm_gbps * 1e3)
+
+    best_perm, best = None, _padded_strips(
+        _ktile_strip_counts(rows, ktile, nkt, tm), P) * us_per_strip
+    for perm in _order_candidates(rows, cols, m, ktile):
+        inv = np.empty(m, np.int64)
+        inv[perm] = np.arange(m)
+        s = _padded_strips(_ktile_strip_counts(inv[rows], ktile, nkt, tm), P)
+        t = s * us_per_strip + perm_us
+        if t < best * 0.95:
+            best, best_perm = t, perm
+    return best_perm
+
+
+# P candidates for the auto geometry chooser; the kernel unrolls a
+# P-iteration strip-scatter loop, so the list is kept short
+STRIP_CANDIDATES = (8, 16, 32, 64)
+
+
+def choose_panel_geometry(rows, cols, m: int, k: int, tm: int = 8,
+                          tk: int = 128,
+                          strip_candidates=STRIP_CANDIDATES,
+                          step_us: float = 0.17,
+                          strip_us: float = 0.0,
+                          hbm_gbps: float = 250.0,
+                          perm_us: float = 0.0):
+    """Jointly pick (P, row_perm) minimising the modelled serve time
+
+        n_strips·(strip_bytes/HBM_BW + strip_cost) + n_panels·step_cost
+        [+ perm_cost if row-reordered]
+
+    — the two sides of the panel tradeoff: larger P cuts grid steps
+    (wins for scattered matrices like large_21074, whose serve time is
+    ~grid-step bound) but pads more strips per k-tile (loses for
+    plan-bandwidth-bound matrices like large_25605).  ``strip_us`` is
+    the per-strip in-kernel cost (the unrolled output-scatter slice,
+    paid by padding strips too); ``step_us`` the fixed per-grid-step
+    overhead; ``perm_us`` the serve-time cost of un-permuting C after a
+    row-reordered plan (an XLA row gather — slow on TPU, so reordering
+    must pay for itself).  All constants come from the per-chip
+    dispatch table (kernels/dispatch.py).  A ≥3% modelled win is
+    required to deviate from the (natural order, P=16) default."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    if len(rows) == 0 or m <= tm:
+        return 16, None
+    nkt = max(1, -(-k // tk))
+    ktile = cols // tk
+    strip_bytes = tm * tk * 4
+    bw = hbm_gbps * 1e3          # bytes per µs
+    orders = [(None, _ktile_strip_counts(rows, ktile, nkt, tm))]
+    for perm in _order_candidates(rows, cols, m, ktile):
+        inv = np.empty(m, np.int64)
+        inv[perm] = np.arange(m)
+        orders.append(
+            (perm, _ktile_strip_counts(inv[rows], ktile, nkt, tm)))
+
+    def cost(cnt, P, permuted):
+        s = _padded_strips(cnt, P)
+        return (s * (strip_bytes / bw + strip_us) + (s // P) * step_us
+                + (perm_us if permuted else 0.0))
+
+    base = cost(orders[0][1], 16, False)
+    best = (16, None)
+    best_cost = base
+    for perm, cnt in orders:
+        for P in strip_candidates:
+            c = cost(cnt, P, perm is not None)
+            if c < best_cost and c < base * 0.97:
+                best_cost, best = c, (P, perm)
+    return best
+
+
 def build_panel_plan(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -122,6 +247,7 @@ def build_panel_plan(
     tk: int = 128,
     panel_strips: int = 16,
     sm: int | None = None,
+    row_perm: np.ndarray | None = None,
 ) -> PanelPlan:
     """Group triplets by (supertile, k-tile, row-strip), supertile-major
     then kt-major; densify each group into a (tm × tk) strip; pad each
@@ -135,6 +261,10 @@ def build_panel_plan(
     cols = np.asarray(cols, dtype=np.int64)
     vals = np.asarray(vals, dtype=np.float32)
     m, k = shape
+    if row_perm is not None:
+        inv = np.empty(m, np.int64)
+        inv[np.asarray(row_perm, np.int64)] = np.arange(m)
+        rows = inv[rows]  # kernel computes the permuted C
     m_pad = round_up(m, tm)
     if sm is None:
         sm = m_pad
@@ -170,7 +300,7 @@ def build_panel_plan(
         a_dense = np.zeros((n_st * P * tm, tk), np.float32)
         return PanelPlan(kt=kt_arr, st=st_arr, offs=offs, a_dense=a_dense,
                          shape=tuple(shape), tm=tm, tk=tk, panel_strips=P,
-                         sm=sm)
+                         sm=sm, row_perm=row_perm)
 
     # per-(supertile, k-tile) group counts, padded to multiples of P
     pair_key = g_st * nkt + g_kt
@@ -220,15 +350,10 @@ def build_panel_plan(
 
     return PanelPlan(kt=kt_arr, st=st_arr, offs=offs, a_dense=a_dense,
                      shape=tuple(shape), tm=tm, tk=tk, panel_strips=P,
-                     sm=sm)
+                     sm=sm, row_perm=row_perm)
 
 
-def panel_plan_from_container(a, tm: int = 8, tk: int = 128,
-                              panel_strips: int = 16,
-                              sm: int | None = None) -> PanelPlan:
-    """Build (or fetch the cached) PanelPlan for a container — serving
-    steady state pays the densification and H2D transfer once."""
-    key = ("panel", tm, tk, panel_strips, sm)
+def _container_cache(a):
     cache = getattr(a, "_plan_cache", None)
     if cache is None:
         cache = {}
@@ -236,44 +361,151 @@ def panel_plan_from_container(a, tm: int = 8, tk: int = 128,
             object.__setattr__(a, "_plan_cache", cache)
         except Exception:
             cache = None
+    return cache
+
+
+def resolve_panel_strips(a, tm: int = 8, tk: int = 128,
+                         panel_strips: int | None = None,
+                         reorder_rows: bool = True):
+    """Resolve the panel geometry for a container: (P, row_perm).
+
+    ``panel_strips=None`` (the default/auto mode) runs the joint
+    cost-model chooser over P candidates × row orderings with the
+    detected chip's constants; an explicit P keeps the plan-bytes-only
+    ordering search at that P.  The result is cached on the container —
+    the chooser is a one-time plan cost."""
+    key = ("panel_geom", tm, tk, panel_strips, reorder_rows)
+    cache = _container_cache(a)
+    if cache is not None and key in cache:
+        return cache[key]
+    from tpuspmm.kernels.dispatch import thresholds
+    from tpuspmm.ops.xla import coo_view
+
+    coo = coo_view(a)
+    rows = np.asarray(coo.rows)
+    cols = np.asarray(coo.cols)
+    th = thresholds()
+    # serve-time charge for un-permuting a row-reordered C: read+write C
+    # once through the measured effective row-gather bandwidth (far
+    # below HBM peak — XLA lowers jnp.take on rows as a slow gather).
+    # B's width is unknown at plan time; charge a nominal 256 lanes.
+    perm_us = (coo.shape[0] * 256 * 4 * 2
+               / (th.get("panel_gather_gbps", 300.0) * 1e3))
+    if panel_strips is not None:
+        perm = (choose_row_order(rows, cols, coo.shape[0], coo.shape[1],
+                                 tm=tm, tk=tk, P=panel_strips,
+                                 perm_us=perm_us,
+                                 hbm_gbps=th.get("panel_hbm_gbps", 250.0))
+                if reorder_rows else None)
+        geom = (panel_strips, perm)
+    else:
+        geom = choose_panel_geometry(
+            rows, cols, coo.shape[0], coo.shape[1], tm=tm, tk=tk,
+            step_us=th.get("panel_step_us", 0.17),
+            strip_us=th.get("panel_strip_us", 0.0),
+            hbm_gbps=th.get("panel_hbm_gbps", 250.0),
+            perm_us=perm_us)
+        if not reorder_rows:
+            geom = (geom[0], None)
+    if cache is not None:
+        cache[key] = geom
+    return geom
+
+
+def panel_plan_from_container(a, tm: int = 8, tk: int = 128,
+                              panel_strips: int | None = None,
+                              sm: int | None = None,
+                              reorder_rows: bool = True) -> PanelPlan:
+    """Build (or fetch the cached) PanelPlan for a container — serving
+    steady state pays the densification and H2D transfer once.
+    ``panel_strips=None`` auto-picks P per matrix (cost model); with
+    ``reorder_rows`` (default), candidate row orderings are evaluated and
+    the winner is baked in (deterministic; the kernel output is
+    un-permuted on return)."""
+    P, perm = resolve_panel_strips(a, tm=tm, tk=tk,
+                                   panel_strips=panel_strips,
+                                   reorder_rows=reorder_rows)
+    key = ("panel", tm, tk, P, sm, reorder_rows)
+    cache = _container_cache(a)
     if cache is not None and key in cache:
         return cache[key]
     from tpuspmm.ops.xla import coo_view
 
     coo = coo_view(a)
     plan = build_panel_plan(
-        np.asarray(coo.rows), np.asarray(coo.cols), np.asarray(coo.values),
-        coo.shape, tm=tm, tk=tk, panel_strips=panel_strips, sm=sm)
+        np.asarray(coo.rows), np.asarray(coo.cols),
+        np.asarray(coo.values),
+        coo.shape, tm=tm, tk=tk, panel_strips=P, sm=sm,
+        row_perm=perm)
     if cache is not None:
         cache[key] = plan
     return plan
 
 
 def fits_vmem_panel(m_pad: int, n_pad: int, tm: int, tk: int,
-                    budget_bytes: int = 8 * 1024 * 1024) -> bool:
+                    budget_bytes: int = 8 * 1024 * 1024,
+                    panel_strips: int = 16) -> bool:
     out_bytes = (m_pad + tm) * n_pad * 4
-    panel_bytes = 2 * (16 * tm) * tk * 4  # double-buffered A panel (P ≤ 16)
-    b_bytes = 2 * tk * n_pad * 4          # double-buffered B tile
-    return out_bytes + panel_bytes + b_bytes <= budget_bytes
+    panel_bytes = 2 * (panel_strips * tm) * tk * 4  # double-buffered A panel
+    b_bytes = 2 * tk * n_pad * 4                    # double-buffered B tile
+    acc_bytes = panel_strips * tm * n_pad * 4       # in-kernel acc stack
+    return out_bytes + panel_bytes + b_bytes + acc_bytes <= budget_bytes
 
 
 def pick_supertile_rows(m_pad: int, n_pad: int, tm: int, tk: int,
-                        budget_bytes: int = 8 * 1024 * 1024) -> int | None:
+                        budget_bytes: int = 8 * 1024 * 1024,
+                        panel_strips: int = 16) -> int | None:
     """Largest supertile row count (multiple of tm) whose output slab +
     streaming buffers fit the VMEM budget; m_pad when the whole output
-    fits (single supertile); None when even one strip does not fit."""
-    if fits_vmem_panel(m_pad, n_pad, tm, tk, budget_bytes):
+    fits (single supertile); None when even one strip does not fit.
+
+    The supertiled output slab is double-buffered by the Mosaic pipeline
+    (its block index changes across the grid), so the budget convention
+    — out counted once against half of physical VMEM, stream buffers
+    counted at their doubled size — must also reserve a stack/scratch
+    margin or a maximal slab lands within kilobytes of the 16 MiB scoped
+    limit and large-P panel buffers push it over (seen on large_20000 at
+    P=64: 16.6M > 16M)."""
+    if fits_vmem_panel(m_pad, n_pad, tm, tk, budget_bytes, panel_strips):
         return m_pad
-    panel_bytes = 2 * (16 * tm) * tk * 4
+    panel_bytes = 2 * (panel_strips * tm) * tk * 4
     b_bytes = 2 * tk * n_pad * 4
-    avail = budget_bytes - panel_bytes - b_bytes
+    acc_bytes = panel_strips * tm * n_pad * 4
+    margin = min(256 * 1024, budget_bytes // 8)
+    avail = budget_bytes - panel_bytes - b_bytes - acc_bytes - margin
     sm = (avail // (n_pad * 4) - tm) // tm * tm
     if sm < tm:
         return None
     return min(sm, m_pad)
 
 
-def _kernel(kt_ref, offs_ref, st_ref, a_ref, b_ref, out_ref, *, tm, P, mode):
+def admit_panel(a, n_pad: int, tm: int = 8, tk: int = 128,
+                panel_strips: int | None = None,
+                budget_bytes: int = 8 * 1024 * 1024):
+    """Budget-constrained geometry admission for a container.
+
+    Resolves the panel geometry, then shrinks P if its double-buffered
+    panel would not leave room for even one output strip under the VMEM
+    budget.  Returns ``(strips_arg, sm_arg)`` to pass straight to
+    :func:`panel_plan_from_container` (``sm_arg`` None = single
+    supertile), or ``None`` when inadmissible at any P."""
+    P, _ = resolve_panel_strips(a, tm=tm, tk=tk, panel_strips=panel_strips)
+    m_pad = round_up(int(a.shape[0]), tm)
+    strips_arg = panel_strips
+    sm = pick_supertile_rows(m_pad, n_pad, tm, tk, budget_bytes,
+                             panel_strips=P)
+    while sm is None and P > 8:
+        P //= 2
+        strips_arg = P
+        sm = pick_supertile_rows(m_pad, n_pad, tm, tk, budget_bytes,
+                                 panel_strips=P)
+    if sm is None:
+        return None
+    return strips_arg, (None if sm == m_pad else sm)
+
+
+def _kernel(kt_ref, offs_ref, st_ref, a_ref, b_ref, out_ref, *, tm, P, mode,
+            flat_offs):
     p = pl.program_id(0)
 
     # zero-init each output slab on its first panel (panels are sorted
@@ -319,8 +551,13 @@ def _kernel(kt_ref, offs_ref, st_ref, a_ref, b_ref, out_ref, *, tm, P, mode):
                       precision=jax.lax.Precision.HIGHEST)
     for i in range(P):
         # offsets are multiples of tm (tm % 8 == 0 enforced at plan build);
-        # Mosaic needs the alignment hint to lower the dynamic slice
-        off = pl.multiple_of(offs_ref[p, i], tm)
+        # Mosaic needs the alignment hint to lower the dynamic slice.
+        # offs layout: 2-D (n_panels, P) keeps the P scalar loads on one
+        # SMEM row, but SMEM pads the trailing dim to 128 lanes (a
+        # 128/P× blow-up that overflows its 1 MiB on huge plans) — the
+        # caller switches to a flat 1-D layout past the SMEM cap
+        idx = offs_ref[p * P + i] if flat_offs else offs_ref[p, i]
+        off = pl.multiple_of(idx, tm)
         out_ref[pl.ds(off, tm), :] += acc[i * tm:(i + 1) * tm, :]
 
 
@@ -335,6 +572,12 @@ def _panel_spmm(kt, st, offs, a_dense, b_padded,
     P = panel_strips
     n_pad = b_padded.shape[1]
     n_panels = kt.shape[0]
+    # prefetched SMEM operands pad the trailing dim to 128 lanes: the 2-D
+    # offs layout costs n_panels·512 B of SMEM regardless of P.  Keep it
+    # (row-local scalar loads — measured ~3× faster than the flat layout
+    # on grid-step-bound plans) while it fits under the 1 MiB SMEM
+    # alongside kt/st; fall back to the flat layout for huge panel counts.
+    flat_offs = n_panels * 128 * 4 > 896 * 1024
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # kt (per panel), offs (per strip), st
@@ -359,7 +602,8 @@ def _panel_spmm(kt, st, offs, a_dense, b_padded,
     bytes_accessed = (a_dense.size * 4 + n_panels * tk * n_pad * 4
                       + n_st * (sm + tm) * n_pad * 4)
     out = pl.pallas_call(
-        functools.partial(_kernel, tm=tm, P=P, mode=mode),
+        functools.partial(_kernel, tm=tm, P=P, mode=mode,
+                          flat_offs=flat_offs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_st * (sm + tm), n_pad),
                                        jnp.float32),
@@ -367,18 +611,20 @@ def _panel_spmm(kt, st, offs, a_dense, b_padded,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
         interpret=interpret,
-    )(kt, offs, st, a_dense, b_padded)
+    )(kt, offs.reshape(-1) if flat_offs else offs, st, a_dense, b_padded)
     return out
 
 
 def spmm_panel(a_or_plan, b, interpret=None,
                budget_bytes: int = 8 * 1024 * 1024,
                mode: str = "highest",
-               tm: int = 8, tk: int = 128, panel_strips: int = 16):
+               tm: int = 8, tk: int = 128,
+               panel_strips: int | None = None):
     """Container/plan-level entry for the pre-densified panel kernel.
 
     ``mode``: "highest" (dense f32 MXU matmul, gate-exact — the default)
     or "split" (3 bf16 passes, ~2^-16 — verified-only tier).
+    ``panel_strips=None`` auto-picks P per matrix (cost model).
 
     Outputs larger than the VMEM budget are row-supertiled (the plan is
     rebuilt supertile-major); only an output narrower than one strip's
@@ -389,17 +635,18 @@ def spmm_panel(a_or_plan, b, interpret=None,
     if isinstance(a_or_plan, PanelPlan):
         plan = a_or_plan
     else:
-        m_pad = round_up(a_or_plan.shape[0], tm)
-        sm = pick_supertile_rows(m_pad, n_pad, tm, tk, budget_bytes)
-        if sm is None:
+        adm = admit_panel(a_or_plan, n_pad, tm=tm, tk=tk,
+                          panel_strips=panel_strips,
+                          budget_bytes=budget_bytes)
+        if adm is None:
             raise ValueError(
                 f"even one {tm}-row output strip of width {n_pad} exceeds "
                 "the VMEM residency budget; use spmm_tiles")
         plan = panel_plan_from_container(
-            a_or_plan, tm=tm, tk=tk, panel_strips=panel_strips,
-            sm=None if sm == m_pad else sm)
+            a_or_plan, tm=tm, tk=tk, panel_strips=adm[0], sm=adm[1])
     m, k = plan.shape
-    if not fits_vmem_panel(plan.sm, n_pad, plan.tm, plan.tk, budget_bytes):
+    if not fits_vmem_panel(plan.sm, n_pad, plan.tm, plan.tk, budget_bytes,
+                           plan.panel_strips):
         raise ValueError(
             f"output slab ({plan.sm}x{n_pad}) exceeds the VMEM residency "
             "budget; rebuild the plan with a smaller sm or use spmm_tiles")
@@ -415,4 +662,15 @@ def spmm_panel(a_or_plan, b, interpret=None,
     if n_st > 1:
         out = out.reshape(n_st, plan.sm + plan.tm, n_pad)[:, :plan.sm, :]
         out = out.reshape(n_st * plan.sm, n_pad)
+    if plan.row_perm is not None:
+        # the kernel computed the row-permuted C; one XLA gather restores
+        # the original order (reads+writes C once — ~0.1 ms for a
+        # 20000-row C on v5e, repaid by the plan savings the ordering
+        # buys; the geometry chooser charged this cost up front)
+        inv = getattr(plan, "_inv_dev", None)
+        if inv is None:
+            inv = jnp.asarray(np.argsort(np.asarray(plan.row_perm)))
+            if not isinstance(inv, jax.core.Tracer):
+                object.__setattr__(plan, "_inv_dev", inv)
+        return jnp.take(out, inv, axis=0)[:, :n]
     return out[:m, :n]
