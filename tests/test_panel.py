@@ -257,6 +257,40 @@ def test_admit_panel_degrades_p_under_tight_budget():
     assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
 
 
+def test_flat_offs_layout_matches_2d():
+    # plans past ~1800 panels overflow the 1 MiB SMEM with the 2-D offs
+    # layout (trailing dim padded to 128 lanes) and switch to a flat 1-D
+    # layout; pin BOTH layouts on one small supertiled plan (padding
+    # strips + trash strip in play) and require identical output
+    import jax.numpy as jnp
+
+    from tpuspmm.kernels.common import pad_b, round_up
+    from tpuspmm.ops.xla import coo_view
+
+    a, _ = _rand_coo(300, 400, 0.02, seed=5)
+    rng = np.random.default_rng(2)
+    b = rng.uniform(-1, 1, (400, 50)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    coo = coo_view(a)
+    plan = panel_spmm.build_panel_plan(
+        np.asarray(coo.rows), np.asarray(coo.cols), np.asarray(coo.values),
+        coo.shape, panel_strips=8, sm=128)
+    assert plan.n_supertiles > 1
+    n_pad = round_up(b.shape[1], 128)
+    bp = pad_b(jnp.asarray(b), plan.num_k_tiles * plan.tk, n_pad)
+    outs = []
+    for flat in (False, True):
+        raw = np.asarray(panel_spmm._panel_spmm(
+            plan.kt, plan.st, plan.offs, plan.a_dense, bp,
+            tm=plan.tm, tk=plan.tk, panel_strips=plan.panel_strips,
+            sm=plan.sm, n_st=plan.n_supertiles, interpret=True,
+            flat_offs=flat))
+        slab = raw.reshape(plan.n_supertiles, plan.sm + plan.tm, n_pad)
+        outs.append(slab[:, :plan.sm, :].reshape(-1, n_pad)[:300, :50])
+    assert allclose(outs[0], ref, CFG.rel_tol, CFG.abs_tol)
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_dispatch_serves_supertiled_panel():
     # a large-M, hyper-sparse problem whose output exceeds a small VMEM
     # budget must still route to the panel kernel (supertiled), not fall

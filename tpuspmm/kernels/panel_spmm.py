@@ -564,11 +564,11 @@ def _kernel(kt_ref, offs_ref, st_ref, a_ref, b_ref, out_ref, *, tm, P, mode,
 @functools.partial(
     jax.jit,
     static_argnames=("tm", "tk", "panel_strips", "sm", "n_st",
-                     "interpret", "mode"),
+                     "interpret", "mode", "flat_offs"),
 )
 def _panel_spmm(kt, st, offs, a_dense, b_padded,
                 *, tm, tk, panel_strips, sm, n_st, interpret,
-                mode="highest"):
+                mode="highest", flat_offs=None):
     P = panel_strips
     n_pad = b_padded.shape[1]
     n_panels = kt.shape[0]
@@ -577,7 +577,9 @@ def _panel_spmm(kt, st, offs, a_dense, b_padded,
     # (row-local scalar loads — measured ~3× faster than the flat layout
     # on grid-step-bound plans) while it fits under the 1 MiB SMEM
     # alongside kt/st; fall back to the flat layout for huge panel counts.
-    flat_offs = n_panels * 128 * 4 > 896 * 1024
+    # ``flat_offs=None`` auto-picks; tests pin it to exercise both layouts.
+    if flat_offs is None:
+        flat_offs = n_panels * 128 * 4 > 896 * 1024
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # kt (per panel), offs (per strip), st
