@@ -199,20 +199,17 @@ def _panel_ok(a, b, config):
     from tpuspmm.kernels.common import round_up
 
     n_pad = round_up(b.shape[1], 128)
-    # outputs beyond the VMEM budget are row-supertiled; only a problem
-    # too wide for even one strip is inadmissible (admit_panel shrinks P
-    # under tight budgets before giving up)
-    adm = panel_spmm.admit_panel(a, n_pad,
-                                 panel_strips=config.panel_strips,
-                                 budget_bytes=config.vmem_budget_bytes)
-    if adm is None:
-        return False
-    # the stacked dense plan is re-read from HBM every call — admission
-    # requires affordable plan bytes (plan is cached on the container, so
-    # building it here costs nothing in steady state)
-    plan = panel_spmm.panel_plan_from_container(
-        a, panel_strips=adm[0], sm=adm[1])
-    return plan.plan_bytes <= panel_spmm.PLAN_BYTES_CAP
+    # outputs beyond the VMEM budget are row-supertiled (the resolver
+    # shrinks P under tight budgets before giving up), and the stacked
+    # dense plan re-read from HBM every call must stay affordable — the
+    # resolver filters candidates against PLAN_BYTES_CAP using exact
+    # plan-byte accounting WITHOUT densifying anything, so admission is
+    # cheap even for rejected matrices
+    geom = panel_spmm.resolve_panel_geometry(
+        a, n_pad, panel_strips=config.panel_strips,
+        budget_bytes=config.vmem_budget_bytes,
+        plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP)
+    return geom is not None
 
 
 def _coo_xla(a, b, config):

@@ -25,10 +25,28 @@ HBM_GBPS = {
 }
 
 
-def detect_chip() -> str:
+def detect_chip(initialize: bool = True) -> str:
+    """Chip family for roofline/threshold tables.
+
+    ``initialize=False`` never forces JAX backend initialization: callers
+    on host-only paths (plan building, admissibility checks) must not
+    block on a remote/tunneled backend handshake just to pick cost
+    constants.  Pre-initialization they get the ``TPUSPMM_CHIP`` env
+    override or "cpu" (whose panel cost constants mirror v5e).
+    """
+    import os
+
+    env = os.environ.get("TPUSPMM_CHIP", "")
+    if env:
+        return env
     import jax
 
     try:
+        if not initialize:
+            from jax._src import xla_bridge
+
+            if not xla_bridge.backends_are_initialized():
+                return "cpu"
         d = jax.devices()[0]
         kind = getattr(d, "device_kind", "") or ""
         if "v5 lite" in kind.lower() or "v5e" in kind.lower():

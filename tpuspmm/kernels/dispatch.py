@@ -81,13 +81,23 @@ _thresholds_cache = None
 
 
 def thresholds() -> dict:
-    """Dispatch thresholds for the detected chip (cached)."""
+    """Dispatch thresholds for the detected chip.
+
+    Never forces JAX backend initialization (host-only plan building must
+    not block on a remote backend handshake): before backends exist this
+    returns the "cpu" row — whose panel constants mirror v5e — WITHOUT
+    caching it, so a later call in the same process picks up the real
+    chip once the backend is live.  ``TPUSPMM_CHIP`` overrides detection.
+    """
     global _thresholds_cache
     if _thresholds_cache is None:
         from tpuspmm.engine.report import detect_chip
 
-        _thresholds_cache = _CHIP_THRESHOLDS.get(detect_chip(),
-                                                 _CHIP_THRESHOLDS["v5e"])
+        chip = detect_chip(initialize=False)
+        row = _CHIP_THRESHOLDS.get(chip, _CHIP_THRESHOLDS["v5e"])
+        if chip == "cpu":
+            return row  # may be the pre-init fallback — don't pin it
+        _thresholds_cache = row
     return _thresholds_cache
 
 
@@ -157,15 +167,17 @@ def spmm_pallas(a, b, interpret=None, config=None):
     from tpuspmm.kernels import panel_spmm
 
     n_pad = round_up(b.shape[1], 128)
-    adm = panel_spmm.admit_panel(a, n_pad,
-                                 panel_strips=config.panel_strips,
-                                 budget_bytes=budget)
-    if adm is not None:
-        pplan = panel_spmm.panel_plan_from_container(
-            a, panel_strips=adm[0], sm=adm[1])
-        if pplan.plan_bytes <= th["panel_max_plan_bytes"]:
-            return panel_spmm.spmm_panel(pplan, b, interpret=interpret,
-                                         budget_bytes=budget)
+    # the resolver applies the per-chip plan-bytes cap DURING the search,
+    # so a geometry whose plan is too large is skipped in favour of a
+    # smaller admissible one rather than knocking the matrix off the
+    # panel path entirely
+    geom = panel_spmm.resolve_panel_geometry(
+        a, n_pad, panel_strips=config.panel_strips, budget_bytes=budget,
+        plan_bytes_cap=th["panel_max_plan_bytes"])
+    if geom is not None:
+        pplan = panel_spmm.panel_plan_from_geometry(a, geom)
+        return panel_spmm.spmm_panel(pplan, b, interpret=interpret,
+                                     budget_bytes=budget)
 
     plan = tile_spmm.plan_from_container(
         a, tile_m=config.tile_m, tile_k=config.tile_k, chunk=config.chunk_nnz)

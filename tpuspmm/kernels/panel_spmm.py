@@ -42,6 +42,7 @@ self-blocks at plan time into MXU-shaped panels.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 from typing import Tuple
@@ -118,12 +119,17 @@ class PanelPlan:
         return cached
 
 
-def _ktile_strip_counts(rows, ktile, nkt: int, tm: int) -> np.ndarray:
-    """Per-k-tile count of occupied (row-octet, k-tile) groups — the
-    unpadded strip histogram a candidate row order produces."""
+def _st_strip_counts(rows, ktile, nkt: int, tm: int, st_div: int):
+    """Occupied-(supertile, k-tile) group histogram for a candidate row
+    order — the unpadded strip counts build_panel_plan will pad to
+    multiples of P, grouped exactly as the builder groups them
+    (per (supertile, k-tile) pair, ``st_div`` = supertile rows / tm).
+    Returns (per-pair counts, number of occupied supertiles)."""
     g = np.unique((rows // tm) * nkt + ktile)
-    _, cnt = np.unique(g % nkt, return_counts=True)
-    return cnt
+    st_g = (g // nkt) // st_div
+    pair = st_g * nkt + (g % nkt)
+    _, cnt = np.unique(pair, return_counts=True)
+    return cnt, len(np.unique(st_g))
 
 
 def _padded_strips(cnt: np.ndarray, P: int) -> int:
@@ -145,43 +151,110 @@ def _order_candidates(rows, cols, m: int, ktile):
     return (np.argsort(cent, kind="stable"), np.lexsort((cent, first)))
 
 
+# P candidates for the auto geometry chooser; the kernel unrolls a
+# P-iteration strip-scatter loop, so the list is kept short
+STRIP_CANDIDATES = (8, 16, 32, 64)
+
+
+def _geometry_search(rows, cols, m: int, k: int, tm: int, tk: int,
+                     candidates, *,
+                     n_pad: int = 256,
+                     budget_bytes: int | None = None,
+                     plan_bytes_cap: int | None = None,
+                     step_us: float = 0.17,
+                     strip_us: float = 0.0,
+                     hbm_gbps: float = 250.0,
+                     perm_us: float = 0.0,
+                     reorder: bool = True,
+                     prefer: int = 16):
+    """Joint (P, row order, supertile rows) search minimising the
+    modelled serve time
+
+        n_strips·(strip_bytes/HBM_BW + strip_cost) + n_panels·step_cost
+        [+ perm_cost if row-reordered]
+
+    — the two sides of the panel tradeoff: larger P cuts grid steps
+    (wins for scattered matrices like large_21074, whose serve time is
+    ~grid-step bound) but pads more strips per (supertile, k-tile) pair
+    (loses for plan-bandwidth-bound matrices like large_25605).  Plan
+    bytes are EXACT, not modelled: the strip histogram is computed per
+    candidate supertiling with the same (supertile, k-tile) grouping and
+    empty-supertile panels build_panel_plan produces, so a
+    ``plan_bytes_cap`` (HBM-affordability admission) filters candidates
+    truthfully and a VMEM ``budget_bytes`` (None = single supertile)
+    charges the extra padding that supertiling causes.  A ≥3% modelled
+    win is required to deviate from the natural order at ``prefer``
+    (falling back to the smallest admissible P when ``prefer`` is not
+    admissible).  Returns (P, row_perm, sm, plan_bytes) or None when no
+    candidate passes admission."""
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    m_pad = round_up(max(m, tm), tm)
+    nkt = max(1, -(-k // tk))
+    ktile = cols // tk
+    strip_bytes = tm * tk * 4
+    bw = hbm_gbps * 1e3          # bytes per µs
+
+    orders = [(None, rows)]
+    if reorder and len(rows) and m > tm:
+        for perm in _order_candidates(rows, cols, m, ktile):
+            inv = np.empty(m, np.int64)
+            inv[perm] = np.arange(m)
+            orders.append((perm, inv[rows]))
+
+    entries = []  # (cost, P, perm, sm, plan_bytes); naturals first per P
+    for P in candidates:
+        if budget_bytes is None:
+            sm = m_pad
+        else:
+            sm = pick_supertile_rows(m_pad, n_pad, tm, tk, budget_bytes,
+                                     panel_strips=P)
+            if sm is None:
+                continue
+        st_div = max(1, sm // tm)
+        n_st = max(1, -(-m_pad // sm))
+        for perm, prows in orders:
+            cnt, occ_st = _st_strip_counts(prows, ktile, nkt, tm, st_div)
+            s = _padded_strips(cnt, P) + (n_st - occ_st) * P
+            plan_bytes = s * strip_bytes
+            if plan_bytes_cap is not None and plan_bytes > plan_bytes_cap:
+                continue
+            cost = (s * (strip_bytes / bw + strip_us)
+                    + (s // P) * step_us
+                    + (perm_us if perm is not None else 0.0))
+            entries.append((cost, P, perm, sm, plan_bytes))
+    if not entries:
+        return None
+    naturals = [e for e in entries if e[2] is None]
+    base = next((e for e in naturals if e[1] == prefer), None)
+    if base is None and naturals:
+        base = naturals[0]  # smallest admissible P, natural order
+    best = min(entries, key=lambda e: e[0])
+    if base is not None and best[0] >= base[0] * 0.97:
+        best = base
+    return best[1], best[2], best[3], best[4]
+
+
 def choose_row_order(rows, cols, m: int, k: int, tm: int = 8,
                      tk: int = 128, P: int = 16,
                      perm_us: float = 0.0, hbm_gbps: float = 250.0):
-    """Pick the candidate row ordering that minimises the modelled plan
-    read time at fixed P: rows sharing k-tiles clustered into the same
-    octet densify together (fewer padded strips = fewer plan bytes).
-    ``perm_us`` charges the serve-time cost of un-permuting C (an XLA
-    row gather — ~300 GB/s effective on v5e, 0.107 ms for a 20000×256
-    C), so an ordering only wins when its plan savings dominate the
+    """Pick the candidate row ordering that minimises the modelled serve
+    time at fixed P: rows sharing k-tiles clustered into the same octet
+    densify together (fewer padded strips = fewer plan bytes and grid
+    steps).  ``perm_us`` charges the serve-time cost of un-permuting C
+    (an XLA row gather — ~300 GB/s effective on v5e, 0.107 ms for a
+    20000×256 C), so an ordering only wins when its savings dominate the
     gather.  Measured on the corpus the natural order wins for
     incidence-structured matrices (large_25605) while first+centroid
     cuts medium_4096's plan 36% and serve time 31% (0.212→0.146 ms).
     Returns a permutation (original row at permuted position j is
-    perm[j]) or None when no candidate beats natural by ≥5%."""
+    perm[j]) or None when no candidate wins by ≥3%."""
     rows = np.asarray(rows, np.int64)
-    cols = np.asarray(cols, np.int64)
     if len(rows) == 0 or m <= tm:
         return None
-    nkt = max(1, -(-k // tk))
-    ktile = cols // tk
-    us_per_strip = tm * tk * 4 / (hbm_gbps * 1e3)
-
-    best_perm, best = None, _padded_strips(
-        _ktile_strip_counts(rows, ktile, nkt, tm), P) * us_per_strip
-    for perm in _order_candidates(rows, cols, m, ktile):
-        inv = np.empty(m, np.int64)
-        inv[perm] = np.arange(m)
-        s = _padded_strips(_ktile_strip_counts(inv[rows], ktile, nkt, tm), P)
-        t = s * us_per_strip + perm_us
-        if t < best * 0.95:
-            best, best_perm = t, perm
-    return best_perm
-
-
-# P candidates for the auto geometry chooser; the kernel unrolls a
-# P-iteration strip-scatter loop, so the list is kept short
-STRIP_CANDIDATES = (8, 16, 32, 64)
+    g = _geometry_search(rows, cols, m, k, tm, tk, (P,),
+                         hbm_gbps=hbm_gbps, perm_us=perm_us, prefer=P)
+    return None if g is None else g[1]
 
 
 def choose_panel_geometry(rows, cols, m: int, k: int, tm: int = 8,
@@ -191,51 +264,17 @@ def choose_panel_geometry(rows, cols, m: int, k: int, tm: int = 8,
                           strip_us: float = 0.0,
                           hbm_gbps: float = 250.0,
                           perm_us: float = 0.0):
-    """Jointly pick (P, row_perm) minimising the modelled serve time
-
-        n_strips·(strip_bytes/HBM_BW + strip_cost) + n_panels·step_cost
-        [+ perm_cost if row-reordered]
-
-    — the two sides of the panel tradeoff: larger P cuts grid steps
-    (wins for scattered matrices like large_21074, whose serve time is
-    ~grid-step bound) but pads more strips per k-tile (loses for
-    plan-bandwidth-bound matrices like large_25605).  ``strip_us`` is
-    the per-strip in-kernel cost (the unrolled output-scatter slice,
-    paid by padding strips too); ``step_us`` the fixed per-grid-step
-    overhead; ``perm_us`` the serve-time cost of un-permuting C after a
-    row-reordered plan (an XLA row gather — slow on TPU, so reordering
-    must pay for itself).  All constants come from the per-chip
-    dispatch table (kernels/dispatch.py).  A ≥3% modelled win is
-    required to deviate from the (natural order, P=16) default."""
+    """Jointly pick (P, row_perm) for a single-supertile plan — the
+    raw cost-model entry (see _geometry_search for the model; the
+    container-level resolve_panel_geometry adds VMEM budgets, plan-byte
+    caps and per-chip constants)."""
     rows = np.asarray(rows, np.int64)
-    cols = np.asarray(cols, np.int64)
     if len(rows) == 0 or m <= tm:
         return 16, None
-    nkt = max(1, -(-k // tk))
-    ktile = cols // tk
-    strip_bytes = tm * tk * 4
-    bw = hbm_gbps * 1e3          # bytes per µs
-    orders = [(None, _ktile_strip_counts(rows, ktile, nkt, tm))]
-    for perm in _order_candidates(rows, cols, m, ktile):
-        inv = np.empty(m, np.int64)
-        inv[perm] = np.arange(m)
-        orders.append(
-            (perm, _ktile_strip_counts(inv[rows], ktile, nkt, tm)))
-
-    def cost(cnt, P, permuted):
-        s = _padded_strips(cnt, P)
-        return (s * (strip_bytes / bw + strip_us) + (s // P) * step_us
-                + (perm_us if permuted else 0.0))
-
-    base = cost(orders[0][1], 16, False)
-    best = (16, None)
-    best_cost = base
-    for perm, cnt in orders:
-        for P in strip_candidates:
-            c = cost(cnt, P, perm is not None)
-            if c < best_cost and c < base * 0.97:
-                best_cost, best = c, (P, perm)
-    return best
+    g = _geometry_search(rows, cols, m, k, tm, tk, strip_candidates,
+                         step_us=step_us, strip_us=strip_us,
+                         hbm_gbps=hbm_gbps, perm_us=perm_us)
+    return (16, None) if g is None else (g[0], g[1])
 
 
 def build_panel_plan(
@@ -364,17 +403,28 @@ def _container_cache(a):
     return cache
 
 
-def resolve_panel_strips(a, tm: int = 8, tk: int = 128,
-                         panel_strips: int | None = None,
-                         reorder_rows: bool = True):
-    """Resolve the panel geometry for a container: (P, row_perm).
+PanelGeometry = collections.namedtuple(
+    "PanelGeometry", "panel_strips row_perm sm plan_bytes")
 
-    ``panel_strips=None`` (the default/auto mode) runs the joint
-    cost-model chooser over P candidates × row orderings with the
-    detected chip's constants; an explicit P keeps the plan-bytes-only
-    ordering search at that P.  The result is cached on the container —
-    the chooser is a one-time plan cost."""
-    key = ("panel_geom", tm, tk, panel_strips, reorder_rows)
+
+def resolve_panel_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
+                           panel_strips: int | None = None,
+                           reorder_rows: bool = True,
+                           budget_bytes: int | None = None,
+                           plan_bytes_cap: int | None = None):
+    """Resolve the full panel geometry for a container: a PanelGeometry
+    (P, row_perm, sm, exact plan_bytes), or None when no candidate fits
+    the VMEM ``budget_bytes`` / ``plan_bytes_cap`` admission.
+
+    ``panel_strips=None`` (the default/auto mode) searches P candidates ×
+    row orderings with the detected chip's constants; an explicit P pins
+    the strip count (degrading to smaller candidates only when P itself
+    is inadmissible).  ``budget_bytes=None`` means a single supertile
+    (no VMEM constraint).  The result is cached on the container — the
+    search is a one-time plan cost.  Host-only: never initializes the
+    JAX backend (thresholds() falls back to defaults pre-init)."""
+    key = ("panel_geom", tm, tk, panel_strips, reorder_rows, n_pad,
+           budget_bytes, plan_bytes_cap)
     cache = _container_cache(a)
     if cache is not None and key in cache:
         return cache[key]
@@ -382,50 +432,63 @@ def resolve_panel_strips(a, tm: int = 8, tk: int = 128,
     from tpuspmm.ops.xla import coo_view
 
     coo = coo_view(a)
+    m, k = coo.shape
     rows = np.asarray(coo.rows)
     cols = np.asarray(coo.cols)
     th = thresholds()
-    # serve-time charge for un-permuting a row-reordered C: read+write C
-    # once through the measured effective row-gather bandwidth (far
-    # below HBM peak — XLA lowers jnp.take on rows as a slow gather).
-    # B's width is unknown at plan time; charge a nominal 256 lanes.
-    perm_us = (coo.shape[0] * 256 * 4 * 2
+    # serve-time charge for un-permuting a row-reordered C: read+write
+    # the actual m×n_pad output once through the measured effective
+    # row-gather bandwidth (below HBM peak — XLA lowers jnp.take on rows
+    # as a gather)
+    perm_us = (m * n_pad * 4 * 2
                / (th.get("panel_gather_gbps", 300.0) * 1e3))
+    kwargs = dict(
+        n_pad=n_pad, budget_bytes=budget_bytes,
+        plan_bytes_cap=plan_bytes_cap,
+        step_us=th.get("panel_step_us", 0.17),
+        strip_us=th.get("panel_strip_us", 0.0),
+        hbm_gbps=th.get("panel_hbm_gbps", 250.0),
+        perm_us=perm_us, reorder=reorder_rows)
     if panel_strips is not None:
-        perm = (choose_row_order(rows, cols, coo.shape[0], coo.shape[1],
-                                 tm=tm, tk=tk, P=panel_strips,
-                                 perm_us=perm_us,
-                                 hbm_gbps=th.get("panel_hbm_gbps", 250.0))
-                if reorder_rows else None)
-        geom = (panel_strips, perm)
+        g = _geometry_search(rows, cols, m, k, tm, tk, (panel_strips,),
+                             prefer=panel_strips, **kwargs)
+        if g is None:  # pinned P inadmissible — degrade, don't refuse
+            smaller = tuple(c for c in STRIP_CANDIDATES
+                            if c < panel_strips)
+            if smaller:
+                g = _geometry_search(rows, cols, m, k, tm, tk, smaller,
+                                     prefer=smaller[0], **kwargs)
     else:
-        geom = choose_panel_geometry(
-            rows, cols, coo.shape[0], coo.shape[1], tm=tm, tk=tk,
-            step_us=th.get("panel_step_us", 0.17),
-            strip_us=th.get("panel_strip_us", 0.0),
-            hbm_gbps=th.get("panel_hbm_gbps", 250.0),
-            perm_us=perm_us)
-        if not reorder_rows:
-            geom = (geom[0], None)
+        g = _geometry_search(rows, cols, m, k, tm, tk, STRIP_CANDIDATES,
+                             prefer=16, **kwargs)
+    geom = None if g is None else PanelGeometry(*g)
     if cache is not None:
         cache[key] = geom
     return geom
 
 
-def panel_plan_from_container(a, tm: int = 8, tk: int = 128,
-                              panel_strips: int | None = None,
-                              sm: int | None = None,
-                              reorder_rows: bool = True) -> PanelPlan:
-    """Build (or fetch the cached) PanelPlan for a container — serving
-    steady state pays the densification and H2D transfer once.
-    ``panel_strips=None`` auto-picks P per matrix (cost model); with
-    ``reorder_rows`` (default), candidate row orderings are evaluated and
-    the winner is baked in (deterministic; the kernel output is
-    un-permuted on return)."""
-    P, perm = resolve_panel_strips(a, tm=tm, tk=tk,
-                                   panel_strips=panel_strips,
-                                   reorder_rows=reorder_rows)
-    key = ("panel", tm, tk, P, sm, reorder_rows)
+def resolve_panel_strips(a, tm: int = 8, tk: int = 128,
+                         panel_strips: int | None = None,
+                         reorder_rows: bool = True):
+    """(P, row_perm) for a single-supertile plan — thin wrapper over
+    :func:`resolve_panel_geometry` kept for the geometry-only callers."""
+    g = resolve_panel_geometry(a, tm=tm, tk=tk, panel_strips=panel_strips,
+                               reorder_rows=reorder_rows)
+    return g.panel_strips, g.row_perm
+
+
+def panel_plan_from_geometry(a, geom: PanelGeometry, tm: int = 8,
+                             tk: int = 128) -> PanelPlan:
+    """Build (or fetch the cached) PanelPlan for a resolved geometry —
+    serving steady state pays the densification and H2D transfer once.
+    The cache key is the geometry CONTENT (P, sm, permutation bytes), so
+    two resolution paths that land on the same geometry share one plan
+    and two that differ never collide."""
+    perm = geom.row_perm
+    m_pad = round_up(int(a.shape[0]), tm)
+    sm = geom.sm if geom.sm != m_pad else None
+    fp = None if perm is None else hash(np.asarray(perm).tobytes())
+    key = ("panel", tm, tk, geom.panel_strips, sm, fp)
     cache = _container_cache(a)
     if cache is not None and key in cache:
         return cache[key]
@@ -435,11 +498,30 @@ def panel_plan_from_container(a, tm: int = 8, tk: int = 128,
     plan = build_panel_plan(
         np.asarray(coo.rows), np.asarray(coo.cols),
         np.asarray(coo.values),
-        coo.shape, tm=tm, tk=tk, panel_strips=P, sm=sm,
+        coo.shape, tm=tm, tk=tk, panel_strips=geom.panel_strips, sm=sm,
         row_perm=perm)
     if cache is not None:
         cache[key] = plan
     return plan
+
+
+def panel_plan_from_container(a, tm: int = 8, tk: int = 128,
+                              panel_strips: int | None = None,
+                              sm: int | None = None,
+                              reorder_rows: bool = True,
+                              n_pad: int = 256) -> PanelPlan:
+    """Resolve geometry and build (or fetch) the PanelPlan in one step.
+    ``panel_strips=None`` auto-picks P per matrix (cost model); with
+    ``reorder_rows`` (default), candidate row orderings are evaluated and
+    the winner is baked in (deterministic; the kernel output is
+    un-permuted on return).  An explicit ``sm`` overrides the resolved
+    supertiling (callers that already ran VMEM admission)."""
+    geom = resolve_panel_geometry(a, n_pad=n_pad, tm=tm, tk=tk,
+                                  panel_strips=panel_strips,
+                                  reorder_rows=reorder_rows)
+    if sm is not None:
+        geom = geom._replace(sm=sm)
+    return panel_plan_from_geometry(a, geom, tm=tm, tk=tk)
 
 
 def fits_vmem_panel(m_pad: int, n_pad: int, tm: int, tk: int,
@@ -482,26 +564,19 @@ def pick_supertile_rows(m_pad: int, n_pad: int, tm: int, tk: int,
 def admit_panel(a, n_pad: int, tm: int = 8, tk: int = 128,
                 panel_strips: int | None = None,
                 budget_bytes: int = 8 * 1024 * 1024):
-    """Budget-constrained geometry admission for a container.
-
-    Resolves the panel geometry, then shrinks P if its double-buffered
-    panel would not leave room for even one output strip under the VMEM
-    budget.  Returns ``(strips_arg, sm_arg)`` to pass straight to
-    :func:`panel_plan_from_container` (``sm_arg`` None = single
-    supertile), or ``None`` when inadmissible at any P."""
-    P, _ = resolve_panel_strips(a, tm=tm, tk=tk, panel_strips=panel_strips)
-    m_pad = round_up(int(a.shape[0]), tm)
-    strips_arg = panel_strips
-    sm = pick_supertile_rows(m_pad, n_pad, tm, tk, budget_bytes,
-                             panel_strips=P)
-    while sm is None and P > 8:
-        P //= 2
-        strips_arg = P
-        sm = pick_supertile_rows(m_pad, n_pad, tm, tk, budget_bytes,
-                                 panel_strips=P)
-    if sm is None:
+    """Budget-constrained geometry admission for a container — thin
+    wrapper over :func:`resolve_panel_geometry` (which searches only
+    candidates whose double-buffered panel leaves room for at least one
+    output strip, degrading P under tight budgets).  Returns
+    ``(strips_arg, sm_arg)`` (``sm_arg`` None = single supertile), or
+    ``None`` when inadmissible at any P."""
+    g = resolve_panel_geometry(a, n_pad=n_pad, tm=tm, tk=tk,
+                               panel_strips=panel_strips,
+                               budget_bytes=budget_bytes)
+    if g is None:
         return None
-    return strips_arg, (None if sm == m_pad else sm)
+    m_pad = round_up(int(a.shape[0]), tm)
+    return g.panel_strips, (None if g.sm == m_pad else g.sm)
 
 
 def _kernel(kt_ref, offs_ref, st_ref, a_ref, b_ref, out_ref, *, tm, P, mode,
@@ -637,15 +712,17 @@ def spmm_panel(a_or_plan, b, interpret=None,
     if isinstance(a_or_plan, PanelPlan):
         plan = a_or_plan
     else:
-        adm = admit_panel(a_or_plan, n_pad, tm=tm, tk=tk,
-                          panel_strips=panel_strips,
-                          budget_bytes=budget_bytes)
-        if adm is None:
+        geom = resolve_panel_geometry(a_or_plan, n_pad, tm=tm, tk=tk,
+                                      panel_strips=panel_strips,
+                                      budget_bytes=budget_bytes,
+                                      plan_bytes_cap=PLAN_BYTES_CAP)
+        if geom is None:
             raise ValueError(
-                f"even one {tm}-row output strip of width {n_pad} exceeds "
-                "the VMEM residency budget; use spmm_tiles")
-        plan = panel_plan_from_container(
-            a_or_plan, tm=tm, tk=tk, panel_strips=adm[0], sm=adm[1])
+                f"no panel geometry admissible at width {n_pad}: either "
+                "one output strip exceeds the VMEM residency budget or "
+                "every candidate plan exceeds PLAN_BYTES_CAP; use "
+                "spmm_tiles")
+        plan = panel_plan_from_geometry(a_or_plan, geom, tm=tm, tk=tk)
     m, k = plan.shape
     if not fits_vmem_panel(plan.sm, n_pad, plan.tm, plan.tk, budget_bytes,
                            plan.panel_strips):
