@@ -148,6 +148,29 @@ def test_spmv_and_transpose():
     )
 
 
+def test_spmm_batched_folds_batch_into_lanes():
+    from tpuspmm.ops.api import spmm_batched
+
+    sp = _rand(60, 80, 0.1, seed=22)
+    a = CSR.from_scipy(sp)
+    rng = np.random.default_rng(7)
+    dense = sp.toarray()
+    # 3-D batch and a 2-level (2, 3) batch; each element must equal the
+    # per-element product (the fold must not mix batch elements)
+    for shape in [(4, 80, 16), (2, 3, 80, 16)]:
+        b = rng.uniform(-1, 1, shape).astype(np.float32)
+        out = np.asarray(spmm_batched(a, b, method="xla"))
+        assert out.shape == shape[:-2] + (60, 16)
+        ref = np.einsum("mk,...kn->...mn", dense, b)
+        np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+    # 2-D input degrades to plain spmm
+    b2 = rng.uniform(-1, 1, (80, 16)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(spmm_batched(a, b2, method="xla")),
+                               dense @ b2, rtol=1e-3, atol=1e-3)
+    with pytest.raises(ValueError):
+        spmm_batched(a, rng.uniform(-1, 1, (4, 81, 16)).astype(np.float32))
+
+
 class TestCResidentKernel:
     """C-resident k-major kernel (tpuspmm/kernels/cres_spmm.py)."""
 

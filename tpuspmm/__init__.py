@@ -18,7 +18,8 @@ Quick start::
 
 from tpuspmm.config import Config, default_config
 from tpuspmm.formats import CSR, COO, BSR, ELL, DenseMatrix
-from tpuspmm.ops.api import spmm, spmv, spmm_transpose, spmm_fn
+from tpuspmm.ops.api import (spmm, spmv, spmm_batched, spmm_transpose,
+                             spmm_fn)
 from tpuspmm.engine.registry import get_engine, FORMATS
 
 __version__ = "0.1.0"
@@ -33,6 +34,7 @@ __all__ = [
     "DenseMatrix",
     "spmm",
     "spmv",
+    "spmm_batched",
     "spmm_transpose",
     "spmm_fn",
     "get_engine",

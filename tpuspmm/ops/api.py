@@ -73,6 +73,33 @@ def spmv(a, x, method: str = "auto"):
     return out[:, 0] if squeeze else out
 
 
+def spmm_batched(a, b, method: str = "auto"):
+    """One sparse operand against a STACK of dense operands:
+    ``b`` is (..., K, N) with any leading batch dims; returns (..., M, N).
+
+    TPU-first formulation: the batch is folded into the lane dimension —
+    (..., K, N) → (K, prod(batch)·N) → one wide SpMM → un-fold — so a
+    single kernel launch serves the whole batch and the panel kernel's
+    plan reads (its binding HBM cost) amortize across every batch
+    element instead of being re-paid per element.  The fold/unfold are
+    XLA transposes/reshapes that fuse into the surrounding program.
+    (The reference has no batched entry; serving stacks like multi-head
+    projections against one pruned weight matrix need it.)"""
+    b = jnp.asarray(b)
+    if b.ndim == 2:
+        return spmm(a, b, method=method)
+    if b.ndim < 2 or b.shape[-2] != a.shape[1]:
+        raise ValueError(f"b must be (..., K={a.shape[1]}, N); got {b.shape}")
+    batch = b.shape[:-2]
+    k, n = b.shape[-2:]
+    # (..., K, N) -> (K, ..., N) -> (K, B*N)
+    flat = jnp.moveaxis(b.reshape(-1, k, n), 0, 1).reshape(k, -1)
+    out = spmm(a, flat, method=method)  # (M, B*N)
+    m = out.shape[0]
+    out = jnp.moveaxis(out.reshape(m, -1, n), 1, 0)
+    return out.reshape(*batch, m, n)
+
+
 def spmm_fn(a, method: str = "auto"):
     """Return a differentiable ``b -> A @ b`` closure over the sparse
     operand.
