@@ -218,6 +218,37 @@ def test_autotune_excludes_gate_failing_variants():
             f"tune ranked a gate-failing variant: {r.variant_name}")
 
 
+def test_tuned_serving_skips_verified_only_by_default():
+    """A verified_only tier's tune-time gate pass proves nothing about
+    future operands of the same width, so spmm_tuned must not serve one
+    unless the caller opts in (and the ranking must carry the flag so
+    disk-cached rankings stay safe too)."""
+    from tpuspmm.engine import autotune
+
+    a = CSR.random(64, 96, 0.2, seed=3)
+    b = np.random.default_rng(5).uniform(-1, 1, (96, 32)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    ranking = autotune.tune(a, b, iters=1, use_disk_cache=False)
+    assert ranking
+    engine = get_engine("csr")
+    flagged = {v.name for v in engine.variants if v.verified_only}
+    for r in ranking:
+        assert r.verified_only == (r.variant_name in flagged), r
+    # force a verified_only entry to rank first; default serving must
+    # skip it, opt-in must serve it
+    vo = next((r for r in ranking if r.verified_only), None)
+    if vo is not None:
+        ranking.sort(key=lambda r: (not r.verified_only, r.ms))
+        assert ranking[0].verified_only
+        a._tune_cache[autotune._tune_key(b)] = ranking
+        served = np.asarray(autotune.spmm_tuned(a, b))
+        assert allclose(served, ref, 1e-2, 1e-3)
+        safe_first = next(r for r in ranking if not r.verified_only)
+        out_safe = np.asarray(engine.variant(safe_first.number).fn(
+            a, b, tpuspmm.default_config()))
+        np.testing.assert_array_equal(served, out_safe)
+
+
 def test_auto_spmm_wide_b_does_not_crash():
     """Regression: select_format assumed width 256; a wide B made the
     C-resident recommendation inadmissible and raised instead of falling

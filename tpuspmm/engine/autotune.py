@@ -33,6 +33,11 @@ class TuneResult:
     variant_name: str
     number: int
     ms: float
+    # split-precision tiers whose gate pass is VALUE-dependent: they may
+    # only be served for workloads the caller gate-checks per operand
+    # (the tune-time gate pass proves nothing about future operands of
+    # the same width)
+    verified_only: bool = False
 
 
 def _tune_key(b) -> tuple:
@@ -68,15 +73,28 @@ def _disk_cache_path() -> str:
 
 
 def matrix_digest(a) -> str:
-    """Cheap stable fingerprint of a container's structure+values."""
+    """Stable fingerprint of a container's structure+values, cached on
+    the container.  Hashes the FULL arrays (a prefix-only hash would let
+    two matrices differing past the prefix collide in the disk cache and
+    be served each other's verified rankings); sha1 over a contiguous
+    memoryview runs at GB/s, and the result is computed once per
+    container."""
+    cached = getattr(a, "_matrix_digest", None)
+    if cached is not None:
+        return cached
     h = hashlib.sha1()
     h.update(repr((a.format_name, tuple(a.shape), int(a.nnz))).encode())
     for name in ("indptr", "indices", "rows", "cols", "values", "blocks",
                  "rowind"):
         arr = getattr(a, name, None)
         if arr is not None:
-            h.update(np.ascontiguousarray(np.asarray(arr)).tobytes()[:4096])
-    return h.hexdigest()[:16]
+            h.update(np.ascontiguousarray(np.asarray(arr)).data)
+    digest = h.hexdigest()[:16]
+    try:
+        object.__setattr__(a, "_matrix_digest", digest)
+    except Exception:
+        pass
+    return digest
 
 
 def _engine_rev(fmt: str) -> str:
@@ -91,7 +109,9 @@ def _engine_rev(fmt: str) -> str:
 def _disk_key(a, b) -> str:
     from tpuspmm.engine.report import detect_chip
 
-    return (f"{matrix_digest(a)}:{a.format_name}:n{int(np.shape(b)[1])}"
+    # v2: entries carry verified_only; v1 entries (which don't) must not
+    # be served as if their winners were unconditionally safe
+    return (f"v2:{matrix_digest(a)}:{a.format_name}:n{int(np.shape(b)[1])}"
             f":{detect_chip()}:e{_engine_rev(a.format_name)}")
 
 
@@ -103,7 +123,8 @@ def _disk_load(key: str) -> Optional[List[TuneResult]]:
         entry = data.get(key)
         if entry is None:
             return None
-        return [TuneResult(e["variant_name"], e["number"], e["ms"])
+        return [TuneResult(e["variant_name"], e["number"], e["ms"],
+                           e.get("verified_only", False))
                 for e in entry]
     except Exception:
         return None
@@ -172,13 +193,16 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
             if verbose:
                 print(f"# tune: {variant.name} failed: {type(e).__name__}: {e}")
             continue
-        results.append(TuneResult(variant.name, variant.number, round(ms, 4)))
+        results.append(TuneResult(variant.name, variant.number, round(ms, 4),
+                                  bool(variant.verified_only)))
         if verbose:
             print(f"# tune: {variant.name}: {ms:.3f} ms")
     results.sort(key=lambda r: r.ms)
 
     _attach(a, b, results)
-    if dkey is not None and results:
+    # only VERIFIED rankings may persist — a verify=False run would
+    # otherwise poison later verify=True tunes through the shared key
+    if dkey is not None and results and verify:
         _disk_store(dkey, results)
     return results
 
@@ -195,9 +219,16 @@ def _attach(a, b, results: List[TuneResult]) -> None:
         cache[_tune_key(b)] = results
 
 
-def spmm_tuned(a, b, config=None):
+def spmm_tuned(a, b, config=None, allow_verified_only: bool = False):
     """SpMM through the tuned winner for this (matrix, width); tunes on
-    first use, falls back to the dispatch heuristic if tuning failed."""
+    first use, falls back to the dispatch heuristic if tuning failed.
+
+    By default verified_only tiers (value-dependent gate: split2 /
+    panel_split) are skipped even when they rank first — the tune-time
+    gate pass was for the TUNE operand, and this entry serves arbitrary
+    future operands without re-checking.  Callers that gate-check each
+    result themselves (engine runs, benches) pass
+    ``allow_verified_only=True`` to serve the absolute winner."""
     from tpuspmm.config import default_config
     from tpuspmm.engine.registry import get_engine
     from tpuspmm.kernels import dispatch
@@ -208,6 +239,8 @@ def spmm_tuned(a, b, config=None):
     ranking = cache.get(_tune_key(b))
     if ranking is None:
         ranking = tune(a, b, config=config)
+    if not allow_verified_only:
+        ranking = [r for r in ranking if not r.verified_only]
     if not ranking:
         return dispatch.spmm_pallas(a, b)
     engine = get_engine(a.format_name)

@@ -220,7 +220,8 @@ def _cres_kloop_spmm(start, end, rt, rows, cols, vals, b_padded,
         out_specs=pl.BlockSpec((m_pad, n_pad), lambda k, *_: (0, 0)),
     )
 
-    flops = 2 * num_chunks * 2 * (chunk * tk * n_pad + tm * chunk * n_pad)
+    terms = 2 if mode == "split2" else 3
+    flops = 2 * num_chunks * terms * (chunk * tk * n_pad + tm * chunk * n_pad)
     bytes_accessed = (num_chunks * chunk * 12
                       + num_k_tiles * tk * n_pad * 4 + m_pad * n_pad * 4)
 
@@ -317,9 +318,12 @@ def spmm_cres(a_or_plan, b, interpret=None, budget_bytes: int = 8 * 1024 * 1024,
     """Container/plan-level entry for the C-resident kernel.
 
     ``schedule``: "kloop" (grid over k-tiles, in-kernel loop over each
-    tile's chunks — no sentinel padding), "block8" (grid over 8-chunk
-    blocks), or "auto" (kloop when the payload fits VMEM alongside the
-    output; split-precision mode only).
+    tile's chunks — no sentinel padding; split-precision modes only, the
+    whole payload must fit VMEM per fits_vmem_loop), "block8" (grid over
+    8-chunk blocks — all modes), or "auto" (block8 — measured faster
+    than kloop on v5e at every corpus shape, BENCHMARKS.md kernel-tuning
+    notes; kloop is kept as an explicit opt-in for payload shapes where
+    the pad-to-8 sentinel waste dominates).
     """
     plan = a_or_plan if isinstance(a_or_plan, TilePlan) else plan_from_container(a_or_plan)
     m, k = plan.shape
@@ -333,10 +337,20 @@ def spmm_cres(a_or_plan, b, interpret=None, budget_bytes: int = 8 * 1024 * 1024,
             "use spmm_tiles")
     b_padded = pad_b(jnp.asarray(b), k_pad, n_pad)
     if schedule == "auto":
-        schedule = "block8"  # measured faster than kloop on v5e (see
-        # BENCHMARKS.md kernel-tuning notes); kloop kept for larger-payload
-        # shapes where the pad-to-8 waste dominates
+        schedule = "block8"
     if schedule == "kloop":
+        if mode not in ("split", "split2"):
+            # the kloop kernel only implements the bf16 split tiers —
+            # treating "highest" as a 3-term split would be a silent
+            # precision downgrade from the explicitly requested f32
+            raise ValueError(
+                f"schedule='kloop' supports mode 'split'/'split2', "
+                f"not {mode!r}; use schedule='block8'")
+        if not fits_vmem_loop(m_pad, n_pad, plan.tile_k,
+                              plan.num_chunks, plan.chunk):
+            raise ValueError(
+                "kloop payload (output + all chunks resident) exceeds "
+                "VMEM; use schedule='block8'")
         start, end, rt, rows, cols, vals = _kmajor_loop(plan)
         out = _cres_kloop_spmm(
             start, end, rt, rows, cols, vals, b_padded,

@@ -423,13 +423,18 @@ def resolve_panel_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
     (no VMEM constraint).  The result is cached on the container — the
     search is a one-time plan cost.  Host-only: never initializes the
     JAX backend (thresholds() falls back to defaults pre-init)."""
-    key = ("panel_geom", tm, tk, panel_strips, reorder_rows, n_pad,
-           budget_bytes, plan_bytes_cap)
+    from tpuspmm.engine.report import detect_chip
+    from tpuspmm.kernels.dispatch import thresholds
+    from tpuspmm.ops.xla import coo_view
+
+    # the chip is part of the key: a geometry resolved pre-backend-init
+    # (detect_chip falls back to "cpu") must not pin "cpu"-row constants
+    # for the container's lifetime once the real chip is known
+    key = ("panel_geom", detect_chip(initialize=False), tm, tk,
+           panel_strips, reorder_rows, n_pad, budget_bytes, plan_bytes_cap)
     cache = _container_cache(a)
     if cache is not None and key in cache:
         return cache[key]
-    from tpuspmm.kernels.dispatch import thresholds
-    from tpuspmm.ops.xla import coo_view
 
     coo = coo_view(a)
     m, k = coo.shape

@@ -28,11 +28,19 @@ class NativeUnavailable(RuntimeError):
 
 
 def _build() -> str:
+    # compile to a process-unique temp name, then os.rename (atomic on
+    # POSIX): a concurrent process never dlopens a half-written .so
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _LIB_PATH]
+           _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.rename(tmp, _LIB_PATH)
     except Exception as e:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         raise NativeUnavailable(f"native build failed: {e}") from e
     return _LIB_PATH
 
@@ -47,7 +55,16 @@ def _load():
         if (not os.path.exists(_LIB_PATH)
                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
             _build()
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # stale/corrupt artifact — rebuild once; a persistent failure
+            # surfaces as NativeUnavailable so callers fall back to Python
+            _build()
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError as e:
+                raise NativeUnavailable(f"dlopen failed: {e}") from e
         lib.tokenize_file.restype = ctypes.c_int
         lib.tokenize_file.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,

@@ -30,11 +30,19 @@ class NativeUnavailable(RuntimeError):
 
 
 def _build() -> str:
+    # compile to a process-unique temp name, then os.rename (atomic on
+    # POSIX): a concurrent process never dlopens a half-written .so
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _LIB_PATH]
+           _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.rename(tmp, _LIB_PATH)
     except Exception as e:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         raise NativeUnavailable(f"native build failed: {e}") from e
     return _LIB_PATH
 
@@ -49,7 +57,17 @@ def _load():
         if (not os.path.exists(_LIB_PATH)
                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
             _build()
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # stale/corrupt artifact (e.g. from an interrupted older
+            # build) — rebuild once, then let a real failure propagate
+            # as NativeUnavailable so callers fall back to numpy
+            _build()
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError as e:
+                raise NativeUnavailable(f"dlopen failed: {e}") from e
         i32p = ctypes.POINTER(ctypes.c_int32)
         f32p = ctypes.POINTER(ctypes.c_float)
         i64p = ctypes.POINTER(ctypes.c_int64)

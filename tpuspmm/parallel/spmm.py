@@ -200,6 +200,16 @@ def _spmm_row_sharded_panel(a, b, mesh: Mesh, axis: str,
         plan = _cached_panel_shard_plan(
             a, n_dev, None if sm >= m_local_guess else sm)
     m, k = plan.shape
+    # an explicit plan must pass the same VMEM admission the plan=None
+    # path performs — fail with a clear message instead of a Mosaic
+    # scoped-memory compile error (interpret mode has no VMEM to respect)
+    if not interp and not panel_spmm.fits_vmem_panel(
+            plan.sm, n_pad, plan.tm, plan.tk,
+            panel_strips=plan.panel_strips):
+        raise ValueError(
+            f"per-shard output slab ({plan.sm}x{n_pad}) exceeds the VMEM "
+            "residency budget; rebuild the shard plan with sm from "
+            "pick_supertile_rows, or pass plan=None to auto-supertile")
     k_pad = round_up(k, plan.tk)
     b_padded = np.pad(b, ((0, k_pad - k), (0, n_pad - n)))
 
