@@ -310,6 +310,79 @@ def test_dispatch_serves_supertiled_panel():
     assert any(k[0] == "panel" and k[4] is not None for k in plans), plans.keys()
 
 
+def _pm1_coo(m, k, per_row, seed=0):
+    """±1-valued matrix (incidence/boundary-matrix shaped — the three
+    large corpus cases n4c6-b13, ch7-6-b5, GL7d25 are all ±1)."""
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(m, dtype=np.int32), per_row)
+    cols = rng.integers(0, k, m * per_row).astype(np.int32)
+    vals = rng.choice([-1.0, 1.0], m * per_row).astype(np.float32)
+    return COO(shape=(m, k), rows=rows, cols=cols, values=vals)
+
+
+def test_plan_compacts_to_bf16_when_lossless():
+    import ml_dtypes
+
+    a = _pm1_coo(100, 300, 4, seed=3)
+    plan = panel_spmm.panel_plan_from_container(a)
+    assert plan.a_dense.dtype == ml_dtypes.bfloat16
+    # plan_bytes (the admission/cost input) reflects the halved stream
+    f32_plan = panel_spmm.build_panel_plan(
+        np.asarray(a.rows), np.asarray(a.cols),
+        np.asarray(a.values) * np.float32(0.1003),  # not bf16-exact
+        a.shape)
+    assert f32_plan.a_dense.dtype == np.float32
+    assert plan.plan_bytes * 2 <= f32_plan.plan_bytes
+    # gate-exact serving through the 3-term-B path
+    rng = np.random.default_rng(5)
+    b = rng.uniform(-1, 1, (300, 40)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+    # split tier (2 bf16 passes of B) stays within the gate on benign data
+    out_s = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True,
+                                             mode="split"))
+    assert allclose(out_s, ref, CFG.rel_tol, CFG.abs_tol)
+    # bf16-ingested B against a bf16 plan: single-pass, exact given inputs
+    import jax.numpy as jnp
+
+    b16 = jnp.asarray(b, dtype=jnp.bfloat16)
+    ref16 = oracle.spmm_oracle(a, np.asarray(b16, np.float32))
+    out16 = np.asarray(panel_spmm.spmm_panel(a, b16, interpret=True))
+    assert allclose(out16, ref16, CFG.rel_tol, CFG.abs_tol)
+
+
+def test_inexact_duplicate_sum_keeps_f32_plan():
+    # each value round-trips bf16, but their SUM (257 = 2^8+1) does not —
+    # the post-densify check must catch this and keep the f32 store
+    rows = np.array([0, 0], np.int32)
+    cols = np.array([1, 1], np.int32)
+    vals = np.array([256.0, 1.0], np.float32)
+    a = COO(shape=(8, 128), rows=rows, cols=cols, values=vals)
+    assert panel_spmm.values_bf16_exact(vals)  # heuristic says compact…
+    plan = panel_spmm.panel_plan_from_container(a)
+    assert plan.a_dense.dtype == np.float32    # …but the build must not
+    b = np.eye(128, dtype=np.float32)
+    out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True))
+    assert out[0, 1] == 257.0
+
+
+def test_sharded_panel_plan_unifies_dtype():
+    import ml_dtypes
+
+    from tpuspmm.parallel import shard
+
+    a = _pm1_coo(64, 256, 4, seed=9)
+    sp = shard.shard_rows_panelplan(a, 4)
+    assert sp.a_dense.dtype == ml_dtypes.bfloat16
+    # poison one shard's exactness: rows 0..15 land in shard 0
+    vals = np.asarray(a.values).copy()
+    vals[0] = 0.1003
+    a2 = COO(shape=a.shape, rows=a.rows, cols=a.cols, values=vals)
+    sp2 = shard.shard_rows_panelplan(a2, 4)
+    assert sp2.a_dense.dtype == np.float32
+
+
 def test_supertiled_plan_structure():
     a, _ = _rand_coo(600, 300, 0.02, seed=29)
     plan = panel_spmm.panel_plan_from_container(a, sm=144)

@@ -49,6 +49,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -70,7 +71,12 @@ class PanelPlan:
     offs: np.ndarray     # (n_panels, P) int32 — supertile-LOCAL C row
     #                      offset per strip; padding strips point at the
     #                      local trash strip (sm)
-    a_dense: np.ndarray  # (n_panels · P · tm, tk) f32 — stacked strips
+    a_dense: np.ndarray  # (n_panels · P · tm, tk) — stacked strips; f32,
+    #                      or bf16 when every densified value round-trips
+    #                      bf16 LOSSLESSLY (±1 incidence matrices and other
+    #                      low-precision patterns — halves the plan bytes
+    #                      re-read from HBM every call with zero precision
+    #                      change; see _compact_plan)
 
     shape: Tuple[int, int]
     tm: int
@@ -166,7 +172,8 @@ def _geometry_search(rows, cols, m: int, k: int, tm: int, tk: int,
                      hbm_gbps: float = 250.0,
                      perm_us: float = 0.0,
                      reorder: bool = True,
-                     prefer: int = 16):
+                     prefer: int = 16,
+                     val_bytes: int = 4):
     """Joint (P, row order, supertile rows) search minimising the
     modelled serve time
 
@@ -192,7 +199,10 @@ def _geometry_search(rows, cols, m: int, k: int, tm: int, tk: int,
     m_pad = round_up(max(m, tm), tm)
     nkt = max(1, -(-k // tk))
     ktile = cols // tk
-    strip_bytes = tm * tk * 4
+    # val_bytes=2 when the values round-trip bf16 (the plan will be
+    # stored compacted — see _compact_plan) so admission and the
+    # bandwidth term price the actual stream
+    strip_bytes = tm * tk * val_bytes
     bw = hbm_gbps * 1e3          # bytes per µs
 
     orders = [(None, rows)]
@@ -277,6 +287,33 @@ def choose_panel_geometry(rows, cols, m: int, k: int, tm: int = 8,
     return (16, None) if g is None else (g[0], g[1])
 
 
+def _compact_plan(a_dense: np.ndarray) -> np.ndarray:
+    """Store the stacked plan in bf16 iff the conversion is LOSSLESS.
+
+    The plan is the serve-time HBM bottleneck (re-read every call), and
+    SuiteSparse incidence/boundary matrices — including the three large
+    corpus cases n4c6-b13, ch7-6-b5, GL7d25 — hold ±1 values that bf16
+    represents exactly, so the check is on the densified array (after
+    duplicate accumulation), not on a dtype heuristic: a plan only
+    shrinks when every stored value is bit-identical after the
+    round-trip, keeping every serving mode's fidelity tier unchanged
+    (the kernel upconverts or splits B instead of splitting A)."""
+    a16 = a_dense.astype(ml_dtypes.bfloat16)
+    if np.array_equal(a16.astype(np.float32), a_dense):
+        return a16
+    return a_dense
+
+
+def values_bf16_exact(vals) -> bool:
+    """Cheap pre-densification heuristic for the geometry cost model:
+    do the raw values round-trip bf16?  (Duplicate-coordinate sums can
+    still break exactness — build_panel_plan's post-densify check is
+    authoritative; this only sizes strip_bytes for candidate ranking.)"""
+    v = np.asarray(vals, np.float32)
+    return bool(np.array_equal(v.astype(ml_dtypes.bfloat16)
+                               .astype(np.float32), v))
+
+
 def build_panel_plan(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -336,7 +373,7 @@ def build_panel_plan(
         kt_arr = np.zeros(n_st, np.int32)
         st_arr = np.arange(n_st, dtype=np.int32)
         offs = np.full((n_st, P), sm, np.int32)
-        a_dense = np.zeros((n_st * P * tm, tk), np.float32)
+        a_dense = np.zeros((n_st * P * tm, tk), ml_dtypes.bfloat16)
         return PanelPlan(kt=kt_arr, st=st_arr, offs=offs, a_dense=a_dense,
                          shape=tuple(shape), tm=tm, tk=tk, panel_strips=P,
                          sm=sm, row_perm=row_perm)
@@ -387,7 +424,8 @@ def build_panel_plan(
         kt_arr, st_arr, offs = kt_arr[perm], st_arr[perm], offs[perm]
         a_dense = a_dense.reshape(-1, P * tm, tk)[perm].reshape(-1, tk)
 
-    return PanelPlan(kt=kt_arr, st=st_arr, offs=offs, a_dense=a_dense,
+    return PanelPlan(kt=kt_arr, st=st_arr, offs=offs,
+                     a_dense=_compact_plan(a_dense),
                      shape=tuple(shape), tm=tm, tk=tk, panel_strips=P,
                      sm=sm, row_perm=row_perm)
 
@@ -453,7 +491,8 @@ def resolve_panel_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
         step_us=th.get("panel_step_us", 0.17),
         strip_us=th.get("panel_strip_us", 0.0),
         hbm_gbps=th.get("panel_hbm_gbps", 250.0),
-        perm_us=perm_us, reorder=reorder_rows)
+        perm_us=perm_us, reorder=reorder_rows,
+        val_bytes=2 if values_bf16_exact(coo.values) else 4)
     if panel_strips is not None:
         g = _geometry_search(rows, cols, m, k, tm, tk, (panel_strips,),
                              prefer=panel_strips, **kwargs)
@@ -597,9 +636,38 @@ def _kernel(kt_ref, offs_ref, st_ref, a_ref, b_ref, out_ref, *, tm, P, mode,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    a_panel = a_ref[...]          # (P·tm, tk) f32
+    a_panel = a_ref[...]          # (P·tm, tk) f32, or bf16 (lossless store)
     b_tile = b_ref[...]           # (tk, n_pad) f32 or bf16
-    if mode == "split":
+    if a_panel.dtype == jnp.bfloat16:
+        # the plan was stored in bf16 ONLY because the conversion was
+        # lossless (_compact_plan), so A-side splitting is free: every
+        # tier below keeps its fidelity class while the plan stream —
+        # the serve-time HBM bottleneck — is half the bytes
+        if b_tile.dtype == jnp.bfloat16:
+            # both operands exact in bf16: one MXU pass, exact given inputs
+            acc = jnp.dot(a_panel, b_tile,
+                          preferred_element_type=jnp.float32)
+        elif mode == "split":
+            # 2 passes; dropped residual ~2^-16·|B| — verified-only tier
+            b_hi = b_tile.astype(jnp.bfloat16)
+            b_lo = (b_tile - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = (jnp.dot(a_panel, b_hi, preferred_element_type=jnp.float32)
+                   + jnp.dot(a_panel, b_lo,
+                             preferred_element_type=jnp.float32))
+        else:
+            # gate-exact tier: 3-term split of B (~2^-24, beyond f32
+            # summation rounding — the mirror of the bf16-B path below),
+            # at HALF the MXU passes of a f32 HIGHEST matmul
+            b_hi = b_tile.astype(jnp.bfloat16)
+            rem = b_tile - b_hi.astype(jnp.float32)
+            b_lo = rem.astype(jnp.bfloat16)
+            b_lo2 = (rem - b_lo.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = (jnp.dot(a_panel, b_hi, preferred_element_type=jnp.float32)
+                   + jnp.dot(a_panel, b_lo,
+                             preferred_element_type=jnp.float32)
+                   + jnp.dot(a_panel, b_lo2,
+                             preferred_element_type=jnp.float32))
+    elif mode == "split":
         # 3 single-pass bf16 matmuls (hi·hi + lo·hi + hi·lo; the dropped
         # lo·lo term is ~2^-16·|A||B| — same fidelity tier as the cres
         # split2 variant, so this mode is verified-only)
@@ -679,9 +747,17 @@ def _panel_spmm(kt, st, offs, a_dense, b_padded,
                                (st_ref[p], 0)),
     )
 
-    passes = 3 if mode == "split" else 6
+    a_bf = a_dense.dtype == jnp.bfloat16
+    b_bf = b_padded.dtype == jnp.bfloat16
+    if a_bf:
+        passes = 1 if b_bf else (2 if mode == "split" else 3)
+    elif b_bf or mode == "split":
+        passes = 3
+    else:
+        passes = 6  # f32 HIGHEST
     flops = 2 * n_panels * P * tm * tk * n_pad * passes // 6
-    bytes_accessed = (a_dense.size * 4 + n_panels * tk * n_pad * 4
+    bytes_accessed = (a_dense.size * a_dense.dtype.itemsize
+                      + n_panels * tk * n_pad * b_padded.dtype.itemsize
                       + n_st * (sm + tm) * n_pad * 4)
     out = pl.pallas_call(
         functools.partial(_kernel, tm=tm, P=P, mode=mode,
@@ -704,8 +780,12 @@ def spmm_panel(a_or_plan, b, interpret=None,
                panel_strips: int | None = None):
     """Container/plan-level entry for the pre-densified panel kernel.
 
-    ``mode``: "highest" (dense f32 MXU matmul, gate-exact — the default)
-    or "split" (3 bf16 passes, ~2^-16 — verified-only tier).
+    ``mode``: "highest" (gate-exact — the default) or "split"
+    (~2^-16 residual — verified-only tier).  When the plan compacted to
+    bf16 losslessly (_compact_plan; ±1 incidence matrices), "highest"
+    serves a 3-term bf16 split of B — the same gate-exact fidelity class
+    at half the plan HBM bytes and half the MXU passes of the f32
+    HIGHEST matmul used for f32 plans.
     ``panel_strips=None`` auto-picks P per matrix (cost model).
 
     Outputs larger than the VMEM budget are row-supertiled (the plan is

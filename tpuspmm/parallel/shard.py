@@ -149,7 +149,9 @@ class RowShardedPanelPlan:
     kt: np.ndarray       # (n_shards · panels_per_shard,) int32
     st: np.ndarray       # (n_shards · panels_per_shard,) int32
     offs: np.ndarray     # (n_shards · panels_per_shard, P) int32
-    a_dense: np.ndarray  # (n_shards · panels_per_shard · P · tm, tk) f32
+    a_dense: np.ndarray  # (n_shards · panels_per_shard · P · tm, tk) —
+    #                      f32, or bf16 when EVERY shard's plan compacted
+    #                      losslessly (panel_spmm._compact_plan)
 
     shape: Tuple[int, int]
     n_shards: int
@@ -195,6 +197,12 @@ def shard_rows_panelplan(a, n_shards: int, tm: int = 8, tk: int = 128,
     n_st = plans[0].n_supertiles
     n_panels = max(p.n_panels for p in plans)
 
+    # one shard failing lossless bf16 compaction forces f32 for all —
+    # the stacked array shards over the mesh axis and must be one dtype
+    dense_dtype = (plans[0].a_dense.dtype
+                   if len({p.a_dense.dtype for p in plans}) == 1
+                   else np.dtype(np.float32))
+
     kt_parts, st_parts, offs_parts, dense_parts = [], [], [], []
     for p in plans:
         pad = n_panels - p.n_panels
@@ -206,9 +214,10 @@ def shard_rows_panelplan(a, n_shards: int, tm: int = 8, tk: int = 128,
             [p.st, np.full(pad, n_st - 1, np.int32)]) if pad else p.st)
         offs_parts.append(np.concatenate(
             [p.offs, np.full((pad, P), sm_eff, np.int32)]) if pad else p.offs)
+        dense = p.a_dense.astype(dense_dtype, copy=False)
         dense_parts.append(np.concatenate(
-            [p.a_dense, np.zeros((pad * P * tm, tk), np.float32)])
-            if pad else p.a_dense)
+            [dense, np.zeros((pad * P * tm, tk), dense_dtype)])
+            if pad else dense)
 
     return RowShardedPanelPlan(
         kt=np.concatenate(kt_parts), st=np.concatenate(st_parts),
