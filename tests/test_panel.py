@@ -385,14 +385,16 @@ def test_plan_compacts_to_bf16_when_lossless():
 
 def test_inexact_duplicate_sum_keeps_f32_plan():
     # each value round-trips bf16, but their SUM (257 = 2^8+1) does not —
-    # the post-densify check must catch this and keep the f32 store
+    # the shared dedupe-aware predicate must say f32, and the built plan
+    # must agree (admission and build price the same dtype)
     rows = np.array([0, 0], np.int32)
     cols = np.array([1, 1], np.int32)
     vals = np.array([256.0, 1.0], np.float32)
     a = COO(shape=(8, 128), rows=rows, cols=cols, values=vals)
-    assert panel_spmm.values_bf16_exact(vals)  # heuristic says compact…
+    assert panel_spmm.values_bf16_exact(vals)  # raw values look exact…
+    assert not panel_spmm.plan_values_bf16_exact(rows, cols, vals, 128)
     plan = panel_spmm.panel_plan_from_container(a)
-    assert plan.a_dense.dtype == np.float32    # …but the build must not
+    assert plan.a_dense.dtype == np.float32    # …but the plan stays f32
     b = np.eye(128, dtype=np.float32)
     out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True))
     assert out[0, 1] == 257.0

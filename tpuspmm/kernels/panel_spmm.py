@@ -45,6 +45,7 @@ from __future__ import annotations
 import collections
 import dataclasses
 import functools
+import operator
 from typing import Tuple
 
 import jax
@@ -54,7 +55,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuspmm.kernels.common import round_up, should_interpret, pad_b
+from tpuspmm.kernels.common import (round_up, should_interpret, pad_b,
+                                    split_bf16)
 
 # admission cap on the stacked dense plan (re-read from HBM every call)
 PLAN_BYTES_CAP = 512 * 1024 * 1024
@@ -72,11 +74,11 @@ class PanelPlan:
     #                      offset per strip; padding strips point at the
     #                      local trash strip (sm)
     a_dense: np.ndarray  # (n_panels · P · tm, tk) — stacked strips; f32,
-    #                      or bf16 when every densified value round-trips
+    #                      or bf16 when every (deduped) value round-trips
     #                      bf16 LOSSLESSLY (±1 incidence matrices and other
     #                      low-precision patterns — halves the plan bytes
     #                      re-read from HBM every call with zero precision
-    #                      change; see _compact_plan)
+    #                      change; see plan_values_bf16_exact)
 
     shape: Tuple[int, int]
     tm: int
@@ -164,8 +166,9 @@ def _order_candidates(rows, cols, m: int, ktile, sig_depth: int = 4):
 
     # signature keys: the d-th distinct k-tile of each row (BIG when the
     # row has fewer than d+1 distinct tiles, pushing short rows together)
-    dd = np.unique(np.stack([rows, ktile], 1), axis=0)
-    rr, kk = dd[:, 0], dd[:, 1]
+    nk = int(ktile.max()) + 1 if len(ktile) else 1
+    dd = np.unique(rows * np.int64(nk) + ktile)
+    rr, kk = dd // nk, dd % nk
     starts = np.concatenate([[0], np.flatnonzero(np.diff(rr)) + 1])
     counts = np.diff(np.concatenate([starts, [len(rr)]]))
     BIG = np.int64(1) << 40
@@ -222,9 +225,9 @@ def _geometry_search(rows, cols, m: int, k: int, tm: int, tk: int,
     m_pad = round_up(max(m, tm), tm)
     nkt = max(1, -(-k // tk))
     ktile = cols // tk
-    # val_bytes=2 when the values round-trip bf16 (the plan will be
-    # stored compacted — see _compact_plan) so admission and the
-    # bandwidth term price the actual stream
+    # val_bytes=2 when the deduped values round-trip bf16 (the plan will
+    # be stored compacted — see plan_values_bf16_exact) so admission and
+    # the bandwidth term price the actual stream
     strip_bytes = tm * tk * val_bytes
     bw = hbm_gbps * 1e3          # bytes per µs
 
@@ -310,31 +313,43 @@ def choose_panel_geometry(rows, cols, m: int, k: int, tm: int = 8,
     return (16, None) if g is None else (g[0], g[1])
 
 
-def _compact_plan(a_dense: np.ndarray) -> np.ndarray:
-    """Store the stacked plan in bf16 iff the conversion is LOSSLESS.
-
-    The plan is the serve-time HBM bottleneck (re-read every call), and
-    SuiteSparse incidence/boundary matrices — including the three large
-    corpus cases n4c6-b13, ch7-6-b5, GL7d25 — hold ±1 values that bf16
-    represents exactly, so the check is on the densified array (after
-    duplicate accumulation), not on a dtype heuristic: a plan only
-    shrinks when every stored value is bit-identical after the
-    round-trip, keeping every serving mode's fidelity tier unchanged
-    (the kernel upconverts or splits B instead of splitting A)."""
-    a16 = a_dense.astype(ml_dtypes.bfloat16)
-    if np.array_equal(a16.astype(np.float32), a_dense):
-        return a16
-    return a_dense
-
-
 def values_bf16_exact(vals) -> bool:
-    """Cheap pre-densification heuristic for the geometry cost model:
-    do the raw values round-trip bf16?  (Duplicate-coordinate sums can
-    still break exactness — build_panel_plan's post-densify check is
-    authoritative; this only sizes strip_bytes for candidate ranking.)"""
+    """Do these f32 values round-trip bf16 losslessly?"""
     v = np.asarray(vals, np.float32)
     return bool(np.array_equal(v.astype(ml_dtypes.bfloat16)
                                .astype(np.float32), v))
+
+
+def _dedupe_triplets(rows, cols, vals, k: int):
+    """Collapse duplicate coordinates ONCE at plan time, summing in f64
+    then rounding to f32 (COO duplicate-accumulate semantics,
+    reference/src/spmm/coo/spmm_coo_k1.cu:24 — but deterministic and at
+    higher fidelity than the reference's f32 atomic ordering).  After
+    this every plan slot holds exactly one value, so bf16 storage is
+    lossless iff these values round-trip bf16 — the SAME predicate
+    plan_values_bf16_exact gives the geometry cost model, keeping
+    admission and the built plan provably consistent."""
+    if not len(rows):
+        return rows, cols, vals
+    key = rows * np.int64(k) + cols
+    uniq, inv = np.unique(key, return_inverse=True)
+    if len(uniq) == len(rows):
+        return rows, cols, vals
+    acc = np.zeros(len(uniq), np.float64)
+    np.add.at(acc, inv, vals.astype(np.float64))
+    return ((uniq // k).astype(np.int64), (uniq % k).astype(np.int64),
+            acc.astype(np.float32))
+
+
+def plan_values_bf16_exact(rows, cols, vals, k: int) -> bool:
+    """EXACT predictor of whether a panel plan built from these triplets
+    stores in bf16: build_panel_plan dedupes through _dedupe_triplets
+    before scattering, so the plan's nonzero entries are precisely the
+    deduped values (row permutations cannot change the value set)."""
+    _, _, v = _dedupe_triplets(np.asarray(rows, np.int64),
+                               np.asarray(cols, np.int64),
+                               np.asarray(vals, np.float32), k)
+    return values_bf16_exact(v)
 
 
 def build_panel_plan(
@@ -364,6 +379,11 @@ def build_panel_plan(
         inv = np.empty(m, np.int64)
         inv[np.asarray(row_perm, np.int64)] = np.arange(m)
         rows = inv[rows]  # kernel computes the permuted C
+    rows, cols, vals = _dedupe_triplets(rows, cols, vals, k)
+    # one deduped value per plan slot → bf16 storage is lossless iff the
+    # values round-trip (halves the serve-time plan stream on ±1
+    # incidence matrices such as n4c6-b13 / ch7-6-b5 / GL7d25)
+    store_bf16 = values_bf16_exact(vals)
     m_pad = round_up(m, tm)
     if sm is None:
         sm = m_pad
@@ -422,15 +442,17 @@ def build_panel_plan(
     offs[slot] = (g_rt * tm - g_st * sm).astype(np.int32)
     offs = offs.reshape(n_panels, P)
 
-    # densify: scatter triplets into their strip (duplicates accumulate,
-    # matching COO semantics — reference/src/spmm/coo/spmm_coo_k1.cu:24)
+    # densify: scatter the (already deduped) triplets into their strips —
+    # flat slots are unique, so this is a pure placement, and every plan
+    # entry is bit-identical to a deduped value or zero
     g_sizes = np.diff(np.concatenate([starts, [len(rows)]]))
     trip_group = np.repeat(np.arange(n_groups), g_sizes)
     r_local = rows - g_rt[trip_group] * tm
     c_local = cols - g_kt[trip_group] * tk
     flat = (slot[trip_group] * tm + r_local) * tk + c_local
-    a_dense = np.zeros(n_strips * tm * tk, np.float32)
-    np.add.at(a_dense, flat, vals)
+    a_dense = np.zeros(n_strips * tm * tk,
+                       ml_dtypes.bfloat16 if store_bf16 else np.float32)
+    a_dense[flat] = vals.astype(a_dense.dtype)
     a_dense = a_dense.reshape(n_strips * tm, tk)
 
     # every supertile must appear so its output slab gets zero-initialised
@@ -442,13 +464,12 @@ def build_panel_plan(
         offs = np.concatenate([offs, np.full((len(missing), P), sm,
                                              np.int32)])
         a_dense = np.concatenate(
-            [a_dense, np.zeros((len(missing) * P * tm, tk), np.float32)])
+            [a_dense, np.zeros((len(missing) * P * tm, tk), a_dense.dtype)])
         perm = np.lexsort((kt_arr, st_arr))
         kt_arr, st_arr, offs = kt_arr[perm], st_arr[perm], offs[perm]
         a_dense = a_dense.reshape(-1, P * tm, tk)[perm].reshape(-1, tk)
 
-    return PanelPlan(kt=kt_arr, st=st_arr, offs=offs,
-                     a_dense=_compact_plan(a_dense),
+    return PanelPlan(kt=kt_arr, st=st_arr, offs=offs, a_dense=a_dense,
                      shape=tuple(shape), tm=tm, tk=tk, panel_strips=P,
                      sm=sm, row_perm=row_perm)
 
@@ -515,7 +536,8 @@ def resolve_panel_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
         strip_us=th.get("panel_strip_us", 0.0),
         hbm_gbps=th.get("panel_hbm_gbps", 250.0),
         perm_us=perm_us, reorder=reorder_rows,
-        val_bytes=2 if values_bf16_exact(coo.values) else 4)
+        val_bytes=2 if plan_values_bf16_exact(rows, cols, coo.values, k)
+        else 4)
     if panel_strips is not None:
         g = _geometry_search(rows, cols, m, k, tm, tk, (panel_strips,),
                              prefer=panel_strips, **kwargs)
@@ -659,62 +681,41 @@ def _kernel(kt_ref, offs_ref, st_ref, a_ref, b_ref, out_ref, *, tm, P, mode,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    def _dot(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
     a_panel = a_ref[...]          # (P·tm, tk) f32, or bf16 (lossless store)
     b_tile = b_ref[...]           # (tk, n_pad) f32 or bf16
-    if a_panel.dtype == jnp.bfloat16:
-        # the plan was stored in bf16 ONLY because the conversion was
-        # lossless (_compact_plan), so A-side splitting is free: every
-        # tier below keeps its fidelity class while the plan stream —
-        # the serve-time HBM bottleneck — is half the bytes
-        if b_tile.dtype == jnp.bfloat16:
-            # both operands exact in bf16: one MXU pass, exact given inputs
-            acc = jnp.dot(a_panel, b_tile,
-                          preferred_element_type=jnp.float32)
-        elif mode == "split":
-            # 2 passes; dropped residual ~2^-16·|B| — verified-only tier
-            b_hi = b_tile.astype(jnp.bfloat16)
-            b_lo = (b_tile - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc = (jnp.dot(a_panel, b_hi, preferred_element_type=jnp.float32)
-                   + jnp.dot(a_panel, b_lo,
-                             preferred_element_type=jnp.float32))
-        else:
-            # gate-exact tier: 3-term split of B (~2^-24, beyond f32
-            # summation rounding — the mirror of the bf16-B path below),
-            # at HALF the MXU passes of a f32 HIGHEST matmul
-            b_hi = b_tile.astype(jnp.bfloat16)
-            rem = b_tile - b_hi.astype(jnp.float32)
-            b_lo = rem.astype(jnp.bfloat16)
-            b_lo2 = (rem - b_lo.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc = (jnp.dot(a_panel, b_hi, preferred_element_type=jnp.float32)
-                   + jnp.dot(a_panel, b_lo,
-                             preferred_element_type=jnp.float32)
-                   + jnp.dot(a_panel, b_lo2,
-                             preferred_element_type=jnp.float32))
+    a_exact = a_panel.dtype == jnp.bfloat16   # lossless by construction
+    b_exact = b_tile.dtype == jnp.bfloat16    # caller ingested bf16
+    if a_exact and b_exact:
+        # both operands exact in bf16: one MXU pass, exact given inputs
+        acc = _dot(a_panel, b_tile)
+    elif a_exact:
+        # split only B (split_bf16 fidelity ladder): 3 terms ≈ gate-exact
+        # (~2^-24, beyond f32 summation rounding) at HALF the MXU passes
+        # of a f32 HIGHEST matmul; 2 terms (~2^-16) = verified-only tier
+        parts = split_bf16(b_tile, 2 if mode == "split" else 3)
+        acc = functools.reduce(operator.add,
+                               [_dot(a_panel, p) for p in parts])
     elif mode == "split":
         # 3 single-pass bf16 matmuls (hi·hi + lo·hi + hi·lo; the dropped
         # lo·lo term is ~2^-16·|A||B| — same fidelity tier as the cres
-        # split2 variant, so this mode is verified-only)
-        a_hi = a_panel.astype(jnp.bfloat16)
-        a_lo = (a_panel - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        if b_tile.dtype == jnp.bfloat16:  # bf16 ingestion: B exact, 2 passes
-            acc = (jnp.dot(a_hi, b_tile, preferred_element_type=jnp.float32)
-                   + jnp.dot(a_lo, b_tile, preferred_element_type=jnp.float32))
+        # split2 variant, so this mode is verified-only); with exact-bf16
+        # B only A splits (2 passes)
+        a_hi, a_lo = split_bf16(a_panel, 2)
+        if b_exact:
+            acc = _dot(a_hi, b_tile) + _dot(a_lo, b_tile)
         else:
-            b_hi = b_tile.astype(jnp.bfloat16)
-            b_lo = (b_tile - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc = (jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
-                   + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
-                   + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32))
-    elif b_tile.dtype == jnp.bfloat16:
+            b_hi, b_lo = split_bf16(b_tile, 2)
+            acc = (_dot(a_hi, b_hi) + _dot(a_lo, b_hi)
+                   + _dot(a_hi, b_lo))
+    elif b_exact:
         # gate-exact bf16-ingestion path: 3-term split of the static A
         # (~2^-26, beyond f32 summation rounding), B exact in bf16
-        a_hi = a_panel.astype(jnp.bfloat16)
-        rem = a_panel - a_hi.astype(jnp.float32)
-        a_lo = rem.astype(jnp.bfloat16)
-        a_lo2 = (rem - a_lo.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = (jnp.dot(a_hi, b_tile, preferred_element_type=jnp.float32)
-               + jnp.dot(a_lo, b_tile, preferred_element_type=jnp.float32)
-               + jnp.dot(a_lo2, b_tile, preferred_element_type=jnp.float32))
+        parts = split_bf16(a_panel, 3)
+        acc = functools.reduce(operator.add,
+                               [_dot(p, b_tile) for p in parts])
     else:
         # default: one dense f32 matmul at HIGHEST — full f32 fidelity,
         # the same accuracy class as the verification gate itself
@@ -774,7 +775,9 @@ def _panel_spmm(kt, st, offs, a_dense, b_padded,
     b_bf = b_padded.dtype == jnp.bfloat16
     if a_bf:
         passes = 1 if b_bf else (2 if mode == "split" else 3)
-    elif b_bf or mode == "split":
+    elif mode == "split":
+        passes = 2 if b_bf else 3
+    elif b_bf:
         passes = 3
     else:
         passes = 6  # f32 HIGHEST
@@ -804,8 +807,8 @@ def spmm_panel(a_or_plan, b, interpret=None,
     """Container/plan-level entry for the pre-densified panel kernel.
 
     ``mode``: "highest" (gate-exact — the default) or "split"
-    (~2^-16 residual — verified-only tier).  When the plan compacted to
-    bf16 losslessly (_compact_plan; ±1 incidence matrices), "highest"
+    (~2^-16 residual — verified-only tier).  When the plan stores bf16
+    losslessly (plan_values_bf16_exact; ±1 incidence matrices), "highest"
     serves a 3-term bf16 split of B — the same gate-exact fidelity class
     at half the plan HBM bytes and half the MXU passes of the f32
     HIGHEST matmul used for f32 plans.

@@ -151,7 +151,7 @@ class RowShardedPanelPlan:
     offs: np.ndarray     # (n_shards · panels_per_shard, P) int32
     a_dense: np.ndarray  # (n_shards · panels_per_shard · P · tm, tk) —
     #                      f32, or bf16 when EVERY shard's plan compacted
-    #                      losslessly (panel_spmm._compact_plan)
+    #                      losslessly (panel_spmm.plan_values_bf16_exact)
 
     shape: Tuple[int, int]
     n_shards: int
