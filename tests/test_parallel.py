@@ -60,6 +60,29 @@ def test_row_sharded_panel_supertiled(problem):
     assert allclose(out, ref, 1e-2, 1e-3)
 
 
+def test_row_sharded_panel_bf16_plan(problem):
+    # ±1 values → per-shard plans compact to bf16 losslessly; the stacked
+    # plan must shard and serve through shard_map unchanged
+    import ml_dtypes
+
+    from tpuspmm.formats import COO
+    from tpuspmm.parallel.shard import shard_rows_panelplan
+
+    rng = np.random.default_rng(21)
+    m, k, per_row = 300, 420, 5
+    rows = np.repeat(np.arange(m, dtype=np.int32), per_row)
+    cols = rng.integers(0, k, m * per_row).astype(np.int32)
+    vals = rng.choice([-1.0, 1.0], m * per_row).astype(np.float32)
+    a = COO(shape=(m, k), rows=rows, cols=cols, values=vals)
+    b = rng.standard_normal((k, 96)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    plan = shard_rows_panelplan(a, 8)
+    assert plan.a_dense.dtype == ml_dtypes.bfloat16
+    mesh = make_mesh((8,), ("rows",))
+    out = np.asarray(spmm_row_sharded(a, b, mesh, local="panel", plan=plan))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
 def test_row_sharded_xla(problem):
     a, b, ref = problem
     mesh = make_mesh((4,), ("rows",))
