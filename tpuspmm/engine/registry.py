@@ -212,6 +212,32 @@ def _panel_ok(a, b, config):
     return geom is not None
 
 
+def _pair(a, b, config):
+    from tpuspmm.kernels import pair_spmm
+
+    return pair_spmm.spmm_pair(a, b, interpret=config.interpret,
+                               budget_bytes=config.vmem_budget_bytes)
+
+
+def _pair_split(a, b, config):
+    from tpuspmm.kernels import pair_spmm
+
+    return pair_spmm.spmm_pair(a, b, interpret=config.interpret,
+                               budget_bytes=config.vmem_budget_bytes,
+                               mode="split")
+
+
+def _pair_ok(a, b, config):
+    from tpuspmm.kernels import pair_spmm
+    from tpuspmm.kernels.common import round_up
+
+    n_pad = round_up(b.shape[1], 128)
+    geom = pair_spmm.resolve_pair_geometry(
+        a, n_pad, budget_bytes=config.vmem_budget_bytes,
+        plan_bytes_cap=pair_spmm.PLAN_BYTES_CAP)
+    return geom is not None
+
+
 def _coo_xla(a, b, config):
     from tpuspmm.ops import xla
 
@@ -271,6 +297,14 @@ def build_engines() -> Dict[str, Engine]:
                               "panel kernel with 3-pass bf16 split matmuls (~2^-16 error) — "
                               "only served when it passes the per-matrix gate",
                               admissible=_panel_ok, verified_only=True),
+                KernelVariant(9, "pallas_pair", _pair,
+                              "run-length panels: one grid step per (supertile, k-tile) pair, "
+                              "in-kernel DMA over exact strip runs (zero plan padding; gate-exact)",
+                              admissible=_pair_ok),
+                KernelVariant(10, "pallas_pair_split", _pair_split,
+                              "pair kernel at the 2-term bf16 split tier (~2^-16 error) — "
+                              "only served when it passes the per-matrix gate",
+                              admissible=_pair_ok, verified_only=True),
             ],
         ),
         "coo": Engine(
@@ -286,6 +320,9 @@ def build_engines() -> Dict[str, Engine]:
                 KernelVariant(4, "pallas_panel", _panel,
                               "plan-time block densification into MXU panels",
                               admissible=_panel_ok),
+                KernelVariant(5, "pallas_pair", _pair,
+                              "run-length panels, in-kernel DMA strip runs",
+                              admissible=_pair_ok),
             ],
         ),
         "bsr": Engine(
@@ -300,6 +337,9 @@ def build_engines() -> Dict[str, Engine]:
                 KernelVariant(4, "pallas_panel", _panel,
                               "plan-time re-blocking into MXU panels (any stored block size)",
                               admissible=_panel_ok),
+                KernelVariant(5, "pallas_pair", _pair,
+                              "run-length panels, in-kernel DMA strip runs",
+                              admissible=_pair_ok),
             ],
         ),
         "ell": Engine(
@@ -315,6 +355,9 @@ def build_engines() -> Dict[str, Engine]:
                 KernelVariant(4, "pallas_panel", _panel,
                               "plan-time block densification into MXU panels",
                               admissible=_panel_ok),
+                KernelVariant(5, "pallas_pair", _pair,
+                              "run-length panels, in-kernel DMA strip runs",
+                              admissible=_pair_ok),
             ],
         ),
     }

@@ -1,0 +1,549 @@
+"""Pallas run-length panel SpMM: one grid step per (supertile, k-tile).
+
+The panel kernel (panel_spmm.py) trades two costs against each other
+through its strip count P: per-panel grid-step overhead (wants large P)
+versus padding every (supertile, k-tile) pair's strip list to a multiple
+of P (wants small P — measured 18-46% stored-plan waste on the corpus at
+the step-optimal P).  This kernel removes the tradeoff: the grid runs
+over the PAIRS themselves, each step walks its pair's exact strip run
+with an in-kernel double-buffered DMA loop, and the stacked plan stores
+no padding at all:
+
+    for each pair q = (supertile, k-tile) with strips [s0, s0+count):
+        for each chunk of CH strips (DMA'd HBM→VMEM, ping-pong buffers):
+            acc = chunk @ B[kt·tk : +tk, :]          # MXU, dense
+            for each strip in the chunk:  C[offs[s], :] += acc_strip
+
+Strip runs start at arbitrary (unaligned) offsets, which a BlockSpec
+index map cannot express — hence the manual `make_async_copy` from an
+ANY-space plan array, the Pallas answer to CUDA's free-form global-memory
+pointer arithmetic (cf. the reference's per-warp dynamic row walks,
+reference/src/spmm/csr/spmm_csr_k2.cu:10-58).  The last chunk of a pair
+may read into the next pair's strips; those rows are masked to the local
+trash strip, and the plan carries CH tail strips of zeros so the DMA
+never overruns.  B tiles and the output slab keep the ordinary pipelined
+BlockSpecs (kt- and supertile-indexed), so their streaming behaviour is
+identical to the panel kernel's.
+
+Same precision tiers as the panel kernel (panel_spmm.panel_matmul);
+plans compact to bf16 under the same lossless-values rule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuspmm.kernels.common import round_up, should_interpret, pad_b
+from tpuspmm.kernels.panel_spmm import (
+    PLAN_BYTES_CAP,
+    _container_cache,
+    _dedupe_triplets,
+    _order_candidates,
+    _st_strip_counts,
+    finish_panel_output,
+    panel_matmul,
+    values_bf16_exact,
+)
+
+# strips per in-kernel DMA chunk: 32 strips = a (256, 128) LHS block —
+# a full-height MXU operand, 64/128 KiB per copy (bf16/f32)
+CHUNK_STRIPS = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class PairPlan:
+    """Run-length panel plan: strips grouped per (supertile, k-tile)
+    pair with NO padding; per-pair runs are walked in-kernel."""
+
+    kt: np.ndarray      # (n_pairs,) int32 — k-tile id
+    st: np.ndarray      # (n_pairs,) int32 — supertile id (ascending;
+    #                     every supertile appears, possibly count=0)
+    start: np.ndarray   # (n_pairs,) int32 — first strip index
+    count: np.ndarray   # (n_pairs,) int32 — strips in this pair
+    offs: np.ndarray    # (n_strips + CH,) int32 — supertile-LOCAL C row
+    #                     offset per strip; the CH-strip tail is trash
+    a_dense: np.ndarray  # ((n_strips + CH)·tm, tk) — stacked strips,
+    #                     f32 or bf16 (lossless store; CH zero tail)
+
+    shape: Tuple[int, int]
+    tm: int
+    tk: int
+    chunk_strips: int   # CH
+    sm: int             # supertile rows; == m_pad for one supertile
+    row_perm: np.ndarray | None = None
+
+    @property
+    def n_pairs(self) -> int:
+        return int(self.kt.shape[0])
+
+    @property
+    def n_strips(self) -> int:
+        return int(self.offs.shape[0]) - self.chunk_strips
+
+    @property
+    def m_pad(self) -> int:
+        return round_up(self.shape[0], self.tm)
+
+    @property
+    def n_supertiles(self) -> int:
+        return -(-self.m_pad // self.sm)
+
+    @property
+    def num_k_tiles(self) -> int:
+        return -(-self.shape[1] // self.tk)
+
+    @property
+    def plan_bytes(self) -> int:
+        return int(self.a_dense.nbytes)
+
+    def device_arrays(self):
+        """Device copies, transferred once and cached (same tracer-leak
+        guard as PanelPlan.device_arrays)."""
+        cached = getattr(self, "_device_arrays", None)
+        if cached is None:
+            cached = tuple(jnp.asarray(x) for x in
+                           (self.kt, self.st, self.start, self.count,
+                            self.offs, self.a_dense))
+            if any(isinstance(x, jax.core.Tracer) for x in cached):
+                return cached
+            object.__setattr__(self, "_device_arrays", cached)
+        return cached
+
+
+def build_pair_plan(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    shape: Tuple[int, int],
+    tm: int = 8,
+    tk: int = 128,
+    chunk_strips: int = CHUNK_STRIPS,
+    sm: int | None = None,
+    row_perm: np.ndarray | None = None,
+) -> PairPlan:
+    """Group triplets by (supertile, k-tile, row-strip), densify each
+    group into one (tm × tk) strip, and record per-(supertile, k-tile)
+    strip runs — no padding beyond the global CH-strip zero tail."""
+    if tm % 8:
+        raise ValueError("tm must be a multiple of 8 (sublane alignment)")
+    CH = chunk_strips
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float32)
+    m, k = shape
+    if row_perm is not None:
+        inv = np.empty(m, np.int64)
+        inv[np.asarray(row_perm, np.int64)] = np.arange(m)
+        rows = inv[rows]
+    rows, cols, vals = _dedupe_triplets(rows, cols, vals, k)
+    store_bf16 = values_bf16_exact(vals)
+    dtype = ml_dtypes.bfloat16 if store_bf16 else np.float32
+    m_pad = round_up(m, tm)
+    if sm is None:
+        sm = m_pad
+    if sm % tm or sm <= 0:
+        raise ValueError("sm must be a positive multiple of tm")
+    n_st = max(1, -(-m_pad // sm))
+    strips_per_st = sm // tm
+
+    rt = rows // tm
+    ktile = cols // tk
+    stile = rt // strips_per_st
+    nrt = max(1, -(-m // tm))
+    nkt = max(1, -(-k // tk))
+    order = np.lexsort((rt, ktile, stile))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    rt, ktile, stile = rt[order], ktile[order], stile[order]
+
+    group_key = (stile * nkt + ktile) * nrt + rt
+    if len(group_key):
+        gb = np.flatnonzero(np.diff(group_key)) + 1
+        starts = np.concatenate([[0], gb]).astype(np.int64)
+    else:
+        starts = np.zeros(0, dtype=np.int64)
+    g_rt = rt[starts] if len(starts) else np.zeros(0, np.int64)
+    g_kt = ktile[starts] if len(starts) else np.zeros(0, np.int64)
+    g_st = stile[starts] if len(starts) else np.zeros(0, np.int64)
+    n_strips = len(starts)
+
+    # pair runs: groups are (st, kt)-major sorted → consecutive
+    pair_key = g_st * nkt + g_kt
+    pairs_unique, pair_counts = (np.unique(pair_key, return_counts=True)
+                                 if n_strips else
+                                 (np.zeros(0, np.int64),
+                                  np.zeros(0, np.int64)))
+    pair_start = (np.concatenate([[0], np.cumsum(pair_counts)[:-1]])
+                  if len(pair_counts) else np.zeros(0, np.int64))
+    kt_arr = (pairs_unique % nkt).astype(np.int32)
+    st_arr = (pairs_unique // nkt).astype(np.int32)
+    start_arr = pair_start.astype(np.int32)
+    count_arr = pair_counts.astype(np.int32)
+
+    # every supertile must appear (slab zero-init + flush coverage)
+    missing = np.setdiff1d(np.arange(n_st), st_arr)
+    if len(missing):
+        kt_arr = np.concatenate([kt_arr, np.zeros(len(missing), np.int32)])
+        st_arr = np.concatenate([st_arr, missing.astype(np.int32)])
+        start_arr = np.concatenate(
+            [start_arr, np.full(len(missing), n_strips, np.int32)])
+        count_arr = np.concatenate(
+            [count_arr, np.zeros(len(missing), np.int32)])
+        perm = np.lexsort((kt_arr, st_arr))
+        kt_arr, st_arr = kt_arr[perm], st_arr[perm]
+        start_arr, count_arr = start_arr[perm], count_arr[perm]
+
+    # strip offsets (supertile-local), trash tail
+    offs = np.full(n_strips + CH, sm, np.int32)
+    offs[:n_strips] = (g_rt * tm - g_st * sm).astype(np.int32)
+
+    # densify: slots are unique after dedupe — pure placement
+    g_sizes = np.diff(np.concatenate([starts, [len(rows)]]))
+    trip_group = np.repeat(np.arange(n_strips), g_sizes)
+    r_local = rows - g_rt[trip_group] * tm
+    c_local = cols - g_kt[trip_group] * tk
+    flat = (trip_group * tm + r_local) * tk + c_local
+    a_dense = np.zeros((n_strips + CH) * tm * tk, dtype)
+    a_dense[flat] = vals.astype(dtype)
+    a_dense = a_dense.reshape((n_strips + CH) * tm, tk)
+
+    return PairPlan(kt=kt_arr, st=st_arr, start=start_arr, count=count_arr,
+                    offs=offs, a_dense=a_dense, shape=tuple(shape), tm=tm,
+                    tk=tk, chunk_strips=CH, sm=sm, row_perm=row_perm)
+
+
+def _pair_kernel(kt_ref, st_ref, start_ref, count_ref, offs_ref,
+                 a_hbm, b_ref, out_ref, buf0, buf1, sem0, sem1,
+                 *, tm, CH, mode, sm):
+    q = pl.program_id(0)
+
+    first = jnp.logical_or(
+        q == 0, st_ref[q] != st_ref[jnp.maximum(q - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    start = start_ref[q]
+    count = count_ref[q]
+    nch = (count + CH - 1) // CH
+
+    def copy(j, buf, sem):
+        return pltpu.make_async_copy(
+            a_hbm.at[pl.ds((start + j * CH) * tm, CH * tm), :], buf, sem)
+
+    def compute(buf, j):
+        acc = panel_matmul(buf[...], b_ref[...], mode)
+        base = start + j * CH
+        for i in range(CH):
+            sid = base + i
+            # strips past this pair's run belong to the NEXT pair (their
+            # values would multiply the wrong B tile) — mask to trash
+            off = jnp.where(sid < start + count, offs_ref[sid], sm)
+            off = pl.multiple_of(off, tm)
+            out_ref[pl.ds(off, tm), :] += acc[i * tm:(i + 1) * tm, :]
+
+    @pl.when(nch > 0)
+    def _():
+        copy(0, buf0, sem0).start()
+
+    # software-pipelined ping-pong: chunk j+1's DMA is in flight while
+    # chunk j computes (two chunks per loop iteration, fixed buffers)
+    def body(i, _):
+        j0 = 2 * i
+        j1 = j0 + 1
+
+        @pl.when(j1 < nch)
+        def _():
+            copy(j1, buf1, sem1).start()
+
+        copy(j0, buf0, sem0).wait()
+        compute(buf0, j0)
+
+        @pl.when(j1 < nch)
+        def _():
+            @pl.when(j1 + 1 < nch)
+            def _():
+                copy(j1 + 1, buf0, sem0).start()
+
+            copy(j1, buf1, sem1).wait()
+            compute(buf1, j1)
+
+        return 0
+
+    jax.lax.fori_loop(0, (nch + 1) // 2, body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tm", "tk", "chunk_strips", "sm", "n_st", "interpret",
+                     "mode"),
+)
+def _pair_spmm(kt, st, start, count, offs, a_dense, b_padded,
+               *, tm, tk, chunk_strips, sm, n_st, interpret,
+               mode="highest"):
+    CH = chunk_strips
+    n_pad = b_padded.shape[1]
+    n_pairs = kt.shape[0]
+    n_strips = offs.shape[0] - CH
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # kt, st, start, count, offs
+        grid=(n_pairs,),
+        in_specs=[
+            # the stacked plan stays in HBM; the kernel DMAs strip runs
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            # one B tile per pair, pipelined on the kt prefetch
+            pl.BlockSpec((tk, n_pad),
+                         lambda q, kt_ref, *_: (kt_ref[q], 0)),
+        ],
+        out_specs=pl.BlockSpec((sm + tm, n_pad),
+                               lambda q, kt_ref, st_ref, *_: (st_ref[q], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((CH * tm, tk), a_dense.dtype),
+            pltpu.VMEM((CH * tm, tk), a_dense.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    a_bf = a_dense.dtype == jnp.bfloat16
+    b_bf = b_padded.dtype == jnp.bfloat16
+    if a_bf:
+        passes = 1 if b_bf else (2 if mode == "split" else 3)
+    elif mode == "split":
+        passes = 2 if b_bf else 3
+    elif b_bf:
+        passes = 3
+    else:
+        passes = 6  # f32 HIGHEST
+    flops = 2 * n_strips * tm * tk * n_pad * passes // 6
+    bytes_accessed = (a_dense.size * a_dense.dtype.itemsize
+                      + n_pairs * tk * n_pad * b_padded.dtype.itemsize
+                      + n_st * (sm + tm) * n_pad * 4)
+    out = pl.pallas_call(
+        functools.partial(_pair_kernel, tm=tm, CH=CH, mode=mode, sm=sm),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_st * (sm + tm), n_pad),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(kt, st, start, count, offs, a_dense, b_padded)
+    return out
+
+
+def fits_vmem_pair(sm: int, n_pad: int, tm: int, tk: int,
+                   budget_bytes: int = 8 * 1024 * 1024,
+                   chunk_strips: int = CHUNK_STRIPS) -> bool:
+    out_bytes = (sm + tm) * n_pad * 4
+    buf_bytes = 2 * chunk_strips * tm * tk * 4  # two ping-pong buffers
+    b_bytes = 2 * tk * n_pad * 4                # double-buffered B tile
+    acc_bytes = chunk_strips * tm * n_pad * 4   # chunk accumulator
+    return out_bytes + buf_bytes + b_bytes + acc_bytes <= budget_bytes
+
+
+def pick_supertile_rows_pair(m_pad: int, n_pad: int, tm: int, tk: int,
+                             budget_bytes: int = 8 * 1024 * 1024,
+                             chunk_strips: int = CHUNK_STRIPS) -> int | None:
+    """Largest admissible supertile row count (multiple of tm); m_pad for
+    a single supertile; None when even one strip does not fit."""
+    if fits_vmem_pair(m_pad, n_pad, tm, tk, budget_bytes, chunk_strips):
+        return m_pad
+    buf_bytes = 2 * chunk_strips * tm * tk * 4
+    b_bytes = 2 * tk * n_pad * 4
+    acc_bytes = chunk_strips * tm * n_pad * 4
+    margin = min(256 * 1024, budget_bytes // 8)
+    avail = budget_bytes - buf_bytes - b_bytes - acc_bytes - margin
+    sm = (avail // (n_pad * 4) - tm) // tm * tm
+    if sm < tm:
+        return None
+    return min(sm, m_pad)
+
+
+PairGeometry = dataclasses.make_dataclass(
+    "PairGeometry", ["row_perm", "sm", "chunk_strips", "plan_bytes"])
+
+
+def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
+                          reorder_rows: bool = True,
+                          budget_bytes: int | None = None,
+                          plan_bytes_cap: int | None = None,
+                          chunk_strips: int = CHUNK_STRIPS):
+    """Pick (row order, supertile rows, DMA chunk) for a pair plan by the
+    same serve-time model as the panel resolver minus the padding term —
+    strips here are exact occupancy, so the only free choices are the
+    ordering (fewer occupied groups), the supertiling (VMEM) and the
+    chunk size (degraded below ``chunk_strips`` only when its ping-pong
+    buffers crowd out the output slab under a tight budget).
+    Returns a PairGeometry or None when inadmissible.  Cached on the
+    container; host-only."""
+    from tpuspmm.engine.report import detect_chip
+    from tpuspmm.kernels.dispatch import thresholds
+    from tpuspmm.ops.xla import coo_view
+
+    key = ("pair_geom", detect_chip(initialize=False), tm, tk,
+           reorder_rows, n_pad, budget_bytes, plan_bytes_cap, chunk_strips)
+    cache = _container_cache(a)
+    if cache is not None and key in cache:
+        return cache[key]
+
+    coo = coo_view(a)
+    m, k = coo.shape
+    rows = np.asarray(coo.rows, np.int64)
+    cols = np.asarray(coo.cols, np.int64)
+    th = thresholds()
+    val_bytes = (2 if plan_values_bf16_exact_cached(a, rows, cols,
+                                                    coo.values, k) else 4)
+    strip_bytes = tm * tk * val_bytes
+    bw = th.get("panel_hbm_gbps", 250.0) * 1e3
+    step_us = th.get("panel_step_us", 0.17)
+    strip_us = th.get("panel_strip_us", 0.0)
+    perm_us = (m * n_pad * 4 * 2
+               / (th.get("panel_gather_gbps", 300.0) * 1e3))
+
+    m_pad = round_up(max(m, tm), tm)
+    ch = chunk_strips
+    if budget_bytes is None:
+        sm = m_pad
+    else:
+        sm = None
+        while ch >= 8:
+            sm = pick_supertile_rows_pair(m_pad, n_pad, tm, tk,
+                                          budget_bytes, chunk_strips=ch)
+            if sm is not None:
+                break
+            ch //= 2
+        if sm is None:
+            if cache is not None:
+                cache[key] = None
+            return None
+    st_div = max(1, sm // tm)
+    n_st = max(1, -(-m_pad // sm))
+    nkt = max(1, -(-k // tk))
+    ktile = cols // tk
+
+    orders = [(None, rows)]
+    if reorder_rows and len(rows) and m > tm:
+        for perm in _order_candidates(rows, cols, m, ktile):
+            inv = np.empty(m, np.int64)
+            inv[perm] = np.arange(m)
+            orders.append((perm, inv[rows]))
+
+    best = None
+    for perm, prows in orders:
+        cnt, occ_st = _st_strip_counts(prows, ktile, nkt, tm, st_div)
+        strips = int(cnt.sum())
+        pairs = len(cnt) + (n_st - occ_st)
+        plan_bytes = strips * strip_bytes
+        if plan_bytes_cap is not None and plan_bytes > plan_bytes_cap:
+            continue
+        cost = (strips * (strip_bytes / bw + strip_us) + pairs * step_us
+                + (perm_us if perm is not None else 0.0))
+        if best is None or cost < best[0] * 0.97:
+            best = (cost, perm, plan_bytes)
+    geom = (None if best is None
+            else PairGeometry(best[1], sm, ch, best[2]))
+    if cache is not None:
+        cache[key] = geom
+    return geom
+
+
+def plan_values_bf16_exact_cached(a, rows, cols, vals, k: int) -> bool:
+    """Container-cached wrapper over panel_spmm.plan_values_bf16_exact
+    (the dedupe pass is O(nnz log nnz); geometry resolution calls it per
+    (chip, width) key)."""
+    from tpuspmm.kernels.panel_spmm import plan_values_bf16_exact
+
+    cache = _container_cache(a)
+    if cache is not None and "plan_vals_bf16" in cache:
+        return cache["plan_vals_bf16"]
+    exact = plan_values_bf16_exact(rows, cols, vals, k)
+    if cache is not None:
+        cache["plan_vals_bf16"] = exact
+    return exact
+
+
+def pair_plan_from_container(a, tm: int = 8, tk: int = 128,
+                             chunk_strips: int = CHUNK_STRIPS,
+                             sm: int | None = None,
+                             reorder_rows: bool = True,
+                             n_pad: int = 256) -> PairPlan:
+    """Resolve geometry and build (or fetch the cached) PairPlan."""
+    geom = resolve_pair_geometry(a, n_pad=n_pad, tm=tm, tk=tk,
+                                 reorder_rows=reorder_rows)
+    if sm is None:
+        m_pad = round_up(int(a.shape[0]), tm)
+        sm = None if geom.sm == m_pad else geom.sm
+    perm = geom.row_perm
+    fp = None if perm is None else hash(np.asarray(perm).tobytes())
+    key = ("pair", tm, tk, chunk_strips, sm, fp)
+    cache = _container_cache(a)
+    if cache is not None and key in cache:
+        return cache[key]
+    from tpuspmm.ops.xla import coo_view
+
+    coo = coo_view(a)
+    plan = build_pair_plan(
+        np.asarray(coo.rows), np.asarray(coo.cols), np.asarray(coo.values),
+        coo.shape, tm=tm, tk=tk, chunk_strips=chunk_strips, sm=sm,
+        row_perm=perm)
+    if cache is not None:
+        cache[key] = plan
+    return plan
+
+
+def spmm_pair(a_or_plan, b, interpret=None,
+              budget_bytes: int = 8 * 1024 * 1024,
+              mode: str = "highest",
+              tm: int = 8, tk: int = 128,
+              chunk_strips: int = CHUNK_STRIPS):
+    """Container/plan-level entry for the run-length pair kernel.
+
+    Same precision tiers as spmm_panel ("highest" gate-exact, "split"
+    verified-only); outputs larger than the VMEM budget are row
+    supertiled.  Prefer this kernel when panel padding or grid-step
+    count dominates — the autotuner measures both and serves the winner.
+    """
+    n = int(b.shape[1])
+    n_pad = round_up(n, 128)
+    if isinstance(a_or_plan, PairPlan):
+        plan = a_or_plan
+    else:
+        geom = resolve_pair_geometry(a_or_plan, n_pad, tm=tm, tk=tk,
+                                     budget_bytes=budget_bytes,
+                                     plan_bytes_cap=PLAN_BYTES_CAP)
+        if geom is None:
+            raise ValueError(
+                f"no pair geometry admissible at width {n_pad}: either "
+                "one output strip exceeds the VMEM residency budget or "
+                "the plan exceeds PLAN_BYTES_CAP; use spmm_tiles")
+        m_pad = round_up(int(a_or_plan.shape[0]), tm)
+        plan = pair_plan_from_container(
+            a_or_plan, tm=tm, tk=tk, chunk_strips=geom.chunk_strips,
+            sm=None if geom.sm == m_pad else geom.sm, n_pad=n_pad)
+    m, k = plan.shape
+    interp = should_interpret(interpret)
+    if not interp and not fits_vmem_pair(plan.sm, n_pad, plan.tm, plan.tk,
+                                         budget_bytes, plan.chunk_strips):
+        raise ValueError(
+            f"output slab ({plan.sm}x{n_pad}) exceeds the VMEM residency "
+            "budget; rebuild the plan with a smaller sm or use spmm_tiles")
+    k_pad = plan.num_k_tiles * plan.tk
+    b_padded = pad_b(jnp.asarray(b), k_pad, n_pad)
+    kt, st, start, count, offs, a_dense = plan.device_arrays()
+    n_st = plan.n_supertiles
+    out = _pair_spmm(
+        kt, st, start, count, offs, a_dense, b_padded,
+        tm=plan.tm, tk=plan.tk, chunk_strips=plan.chunk_strips,
+        sm=plan.sm, n_st=n_st, interpret=interp, mode=mode)
+    return finish_panel_output(out, plan, n_st, n_pad, m, n)

@@ -668,6 +668,46 @@ def admit_panel(a, n_pad: int, tm: int = 8, tk: int = 128,
     return g.panel_strips, (None if g.sm == m_pad else g.sm)
 
 
+def panel_matmul(a_panel, b_tile, mode: str):
+    """The shared precision-tier matmul of the panel-family kernels:
+    pick the cheapest MXU-pass ladder that preserves the requested
+    fidelity tier given the operand dtypes.
+
+    - a bf16 (lossless store) & b bf16: one exact pass.
+    - a bf16, b f32: split only B — 3 bf16 terms ≈ gate-exact (~2^-24,
+      beyond f32 summation rounding) at HALF the passes of f32 HIGHEST;
+      2 terms (~2^-16) for the verified-only "split" tier.
+    - a f32, mode "split": hi·hi + lo·hi + hi·lo (dropped lo·lo ~2^-16 —
+      same fidelity class as the cres split2 variant, verified-only);
+      with exact-bf16 B only A splits (2 passes).
+    - a f32, b bf16: 3-term split of the static A (~2^-26), B exact.
+    - a f32, b f32, mode "highest": one dense f32 matmul at HIGHEST —
+      full f32 fidelity, the accuracy class of the verification gate."""
+    def _dot(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+    a_exact = a_panel.dtype == jnp.bfloat16   # lossless by construction
+    b_exact = b_tile.dtype == jnp.bfloat16    # caller ingested bf16
+    if a_exact and b_exact:
+        return _dot(a_panel, b_tile)
+    if a_exact:
+        parts = split_bf16(b_tile, 2 if mode == "split" else 3)
+        return functools.reduce(operator.add,
+                                [_dot(a_panel, p) for p in parts])
+    if mode == "split":
+        a_hi, a_lo = split_bf16(a_panel, 2)
+        if b_exact:
+            return _dot(a_hi, b_tile) + _dot(a_lo, b_tile)
+        b_hi, b_lo = split_bf16(b_tile, 2)
+        return _dot(a_hi, b_hi) + _dot(a_lo, b_hi) + _dot(a_hi, b_lo)
+    if b_exact:
+        parts = split_bf16(a_panel, 3)
+        return functools.reduce(operator.add,
+                                [_dot(p, b_tile) for p in parts])
+    return jnp.dot(a_panel, b_tile, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _kernel(kt_ref, offs_ref, st_ref, a_ref, b_ref, out_ref, *, tm, P, mode,
             flat_offs):
     p = pl.program_id(0)
@@ -681,46 +721,7 @@ def _kernel(kt_ref, offs_ref, st_ref, a_ref, b_ref, out_ref, *, tm, P, mode,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    def _dot(x, y):
-        return jnp.dot(x, y, preferred_element_type=jnp.float32)
-
-    a_panel = a_ref[...]          # (P·tm, tk) f32, or bf16 (lossless store)
-    b_tile = b_ref[...]           # (tk, n_pad) f32 or bf16
-    a_exact = a_panel.dtype == jnp.bfloat16   # lossless by construction
-    b_exact = b_tile.dtype == jnp.bfloat16    # caller ingested bf16
-    if a_exact and b_exact:
-        # both operands exact in bf16: one MXU pass, exact given inputs
-        acc = _dot(a_panel, b_tile)
-    elif a_exact:
-        # split only B (split_bf16 fidelity ladder): 3 terms ≈ gate-exact
-        # (~2^-24, beyond f32 summation rounding) at HALF the MXU passes
-        # of a f32 HIGHEST matmul; 2 terms (~2^-16) = verified-only tier
-        parts = split_bf16(b_tile, 2 if mode == "split" else 3)
-        acc = functools.reduce(operator.add,
-                               [_dot(a_panel, p) for p in parts])
-    elif mode == "split":
-        # 3 single-pass bf16 matmuls (hi·hi + lo·hi + hi·lo; the dropped
-        # lo·lo term is ~2^-16·|A||B| — same fidelity tier as the cres
-        # split2 variant, so this mode is verified-only); with exact-bf16
-        # B only A splits (2 passes)
-        a_hi, a_lo = split_bf16(a_panel, 2)
-        if b_exact:
-            acc = _dot(a_hi, b_tile) + _dot(a_lo, b_tile)
-        else:
-            b_hi, b_lo = split_bf16(b_tile, 2)
-            acc = (_dot(a_hi, b_hi) + _dot(a_lo, b_hi)
-                   + _dot(a_hi, b_lo))
-    elif b_exact:
-        # gate-exact bf16-ingestion path: 3-term split of the static A
-        # (~2^-26, beyond f32 summation rounding), B exact in bf16
-        parts = split_bf16(a_panel, 3)
-        acc = functools.reduce(operator.add,
-                               [_dot(p, b_tile) for p in parts])
-    else:
-        # default: one dense f32 matmul at HIGHEST — full f32 fidelity,
-        # the same accuracy class as the verification gate itself
-        acc = jnp.dot(a_panel, b_tile, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    acc = panel_matmul(a_ref[...], b_ref[...], mode)
     for i in range(P):
         # offsets are multiples of tm (tm % 8 == 0 enforced at plan build);
         # Mosaic needs the alignment hint to lower the dynamic slice.
@@ -849,14 +850,20 @@ def spmm_panel(a_or_plan, b, interpret=None,
         tm=plan.tm, tk=plan.tk, panel_strips=plan.panel_strips,
         sm=plan.sm, n_st=n_st, interpret=should_interpret(interpret),
         mode=mode)
+    return finish_panel_output(out, plan, n_st, n_pad, m, n)
+
+
+def finish_panel_output(out, plan, n_st: int, n_pad: int, m: int, n: int):
+    """Shared epilogue of the panel-family kernels: strip each
+    supertile's local trash strip, then restore the original row order
+    when the plan was built over a row permutation (one XLA gather —
+    reads+writes C once, ~0.1 ms for a 20000-row C on v5e, repaid by the
+    plan savings the ordering buys; the geometry chooser charged this
+    cost up front)."""
     if n_st > 1:
         out = out.reshape(n_st, plan.sm + plan.tm, n_pad)[:, :plan.sm, :]
         out = out.reshape(n_st * plan.sm, n_pad)
     if plan.row_perm is not None:
-        # the kernel computed the row-permuted C; one XLA gather restores
-        # the original order (reads+writes C once — ~0.1 ms for a
-        # 20000-row C on v5e, repaid by the plan savings the ordering
-        # buys; the geometry chooser charged this cost up front)
         inv = getattr(plan, "_inv_dev", None)
         if inv is None:
             inv = jnp.asarray(np.argsort(np.asarray(plan.row_perm)))
