@@ -188,3 +188,33 @@ def test_row_reordered_pair_matches_oracle():
     ref = oracle.spmm_oracle(a, b)
     out = np.asarray(pair_spmm.spmm_pair(plan_perm, b, interpret=True))
     assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_random_geometry(seed):
+    # randomized geometry sweep: ragged shapes, random supertiling and
+    # chunk sizes, optional row permutation — the pair plan's indexing is
+    # all host-side integer arithmetic, so breadth here is cheap insurance
+    rng = np.random.default_rng(1000 + seed)
+    m = int(rng.integers(1, 700))
+    k = int(rng.integers(1, 700))
+    density = float(rng.uniform(0.001, 0.05))
+    nnz = max(1, int(m * k * density))
+    rows = rng.integers(0, m, nnz).astype(np.int32)
+    cols = rng.integers(0, k, nnz).astype(np.int32)
+    vals = rng.uniform(-50, 50, nnz).astype(np.float32)
+    a = COO(shape=(m, k), rows=rows, cols=cols, values=vals)
+    n = int(rng.integers(1, 200))
+    b = rng.uniform(-1, 1, (k, n)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+
+    m_pad = -(-m // 8) * 8
+    sm_choices = [None] + [s * 8 for s in (1, 2, 5) if s * 8 < m_pad]
+    sm = sm_choices[int(rng.integers(0, len(sm_choices)))]
+    ch = int(rng.choice([8, 16, 32]))
+    perm = rng.permutation(m).astype(np.int64) if rng.random() < 0.5 else None
+    plan = pair_spmm.build_pair_plan(rows, cols, vals, (m, k), sm=sm,
+                                     chunk_strips=ch, row_perm=perm)
+    out = np.asarray(pair_spmm.spmm_pair(plan, b, interpret=True))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol), (
+        m, k, n, density, sm, ch, perm is not None)
