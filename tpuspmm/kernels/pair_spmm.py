@@ -477,10 +477,15 @@ def pair_plan_from_container(a, tm: int = 8, tk: int = 128,
                              chunk_strips: int = CHUNK_STRIPS,
                              sm: int | None = None,
                              reorder_rows: bool = True,
-                             n_pad: int = 256) -> PairPlan:
-    """Resolve geometry and build (or fetch the cached) PairPlan."""
-    geom = resolve_pair_geometry(a, n_pad=n_pad, tm=tm, tk=tk,
-                                 reorder_rows=reorder_rows)
+                             n_pad: int = 256,
+                             geom=None) -> PairPlan:
+    """Build (or fetch the cached) PairPlan.  ``geom`` (a PairGeometry)
+    pins the row ordering/supertiling the caller already resolved —
+    without it the unbudgeted resolver picks, and its permutation could
+    differ from a budgeted resolution's."""
+    if geom is None:
+        geom = resolve_pair_geometry(a, n_pad=n_pad, tm=tm, tk=tk,
+                                     reorder_rows=reorder_rows)
     if sm is None:
         m_pad = round_up(int(a.shape[0]), tm)
         sm = None if geom.sm == m_pad else geom.sm
@@ -530,7 +535,8 @@ def spmm_pair(a_or_plan, b, interpret=None,
         m_pad = round_up(int(a_or_plan.shape[0]), tm)
         plan = pair_plan_from_container(
             a_or_plan, tm=tm, tk=tk, chunk_strips=geom.chunk_strips,
-            sm=None if geom.sm == m_pad else geom.sm, n_pad=n_pad)
+            sm=None if geom.sm == m_pad else geom.sm, n_pad=n_pad,
+            geom=geom)
     m, k = plan.shape
     interp = should_interpret(interpret)
     if not interp and not fits_vmem_pair(plan.sm, n_pad, plan.tm, plan.tk,
