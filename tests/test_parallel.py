@@ -83,6 +83,28 @@ def test_row_sharded_panel_bf16_plan(problem):
     assert allclose(out, ref, 1e-2, 1e-3)
 
 
+def test_row_sharded_pair(problem):
+    a, b, ref = problem
+    mesh = make_mesh((8,), ("rows",))
+    out = np.asarray(spmm_row_sharded(a, b, mesh, local="pair"))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_row_sharded_pair_supertiled_uneven_shards(problem):
+    # sm < m_local forces per-shard supertiling; 3 shards over 300 rows
+    # makes the last slab ragged, so per-shard pair/strip counts differ
+    # and the uniform-padding path is exercised
+    a, b, ref = problem
+    from tpuspmm.parallel.shard import shard_rows_pairplan
+
+    plan = shard_rows_pairplan(a, 3, sm=48, chunk_strips=8)
+    assert plan.n_supertiles > 1
+    mesh = make_mesh((3,), ("rows",))
+    out = np.asarray(spmm_row_sharded(a, b, mesh, local="pair", plan=plan))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
 def test_row_sharded_xla(problem):
     a, b, ref = problem
     mesh = make_mesh((4,), ("rows",))

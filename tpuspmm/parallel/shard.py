@@ -228,6 +228,107 @@ def shard_rows_panelplan(a, n_shards: int, tm: int = 8, tk: int = 128,
 
 
 @dataclasses.dataclass(frozen=True)
+class RowShardedPairPlan:
+    """Per-shard run-length pair plans (kernels/pair_spmm.py) stacked for
+    shard_map: pairs pad to the max pair count with count=0 entries (st
+    pinned to the last supertile so slab-change zero-init never
+    re-fires), strips pad to the max strip count with trash strips ahead
+    of each shard's CH-strip zero tail."""
+
+    kt: np.ndarray      # (n_shards · pairs_per_shard,) int32
+    st: np.ndarray      # (n_shards · pairs_per_shard,) int32
+    start: np.ndarray   # (n_shards · pairs_per_shard,) int32
+    count: np.ndarray   # (n_shards · pairs_per_shard,) int32
+    offs: np.ndarray    # (n_shards · (strips_per_shard + CH),) int32
+    a_dense: np.ndarray  # (n_shards · (strips_per_shard + CH) · tm, tk)
+
+    shape: Tuple[int, int]
+    n_shards: int
+    m_local: int          # padded rows per shard (multiple of tm)
+    pairs_per_shard: int
+    strips_per_shard: int
+    tm: int
+    tk: int
+    chunk_strips: int
+    sm: int               # supertile rows (≤ m_local)
+
+    @property
+    def n_supertiles(self) -> int:
+        return cdiv(self.m_local, self.sm)
+
+    @property
+    def plan_bytes(self) -> int:
+        return int(self.a_dense.nbytes)
+
+
+def shard_rows_pairplan(a, n_shards: int, tm: int = 8, tk: int = 128,
+                        chunk_strips: int = 32,
+                        sm: int | None = None) -> RowShardedPairPlan:
+    """Split A into ``n_shards`` row slabs and build a PairPlan per slab,
+    padded to uniform (pair, strip) counts so the stack shards evenly
+    over the mesh axis."""
+    from tpuspmm.kernels.pair_spmm import build_pair_plan
+
+    CH = chunk_strips
+    rows, cols, vals, (m, k) = _to_coo_arrays(a)
+    m_local = round_up(cdiv(m, n_shards), tm)
+    if sm is not None:
+        sm = min(sm, m_local)
+
+    plans = []
+    for s in range(n_shards):
+        lo, hi = s * m_local, min((s + 1) * m_local, m)
+        sel = (rows >= lo) & (rows < hi)
+        plans.append(
+            build_pair_plan(rows[sel] - lo, cols[sel], vals[sel],
+                            (m_local, k), tm=tm, tk=tk,
+                            chunk_strips=CH, sm=sm))
+    sm_eff = plans[0].sm
+    n_st = plans[0].n_supertiles
+    n_pairs = max(p.n_pairs for p in plans)
+    n_strips = max(p.n_strips for p in plans)
+
+    # one shard failing lossless bf16 compaction forces f32 for all —
+    # the stacked array shards over the mesh axis and must be one dtype
+    dense_dtype = (plans[0].a_dense.dtype
+                   if len({p.a_dense.dtype for p in plans}) == 1
+                   else np.dtype(np.float32))
+
+    kt_p, st_p, start_p, count_p, offs_p, dense_p = [], [], [], [], [], []
+    for p in plans:
+        pad = n_pairs - p.n_pairs
+        kt_p.append(np.concatenate([p.kt, np.zeros(pad, np.int32)])
+                    if pad else p.kt)
+        # count=0 fillers ride the LAST supertile: st stays monotone and
+        # the slab-change zero-init never re-fires
+        st_p.append(np.concatenate([p.st, np.full(pad, n_st - 1, np.int32)])
+                    if pad else p.st)
+        start_p.append(np.concatenate(
+            [p.start, np.full(pad, p.n_strips, np.int32)])
+            if pad else p.start)
+        count_p.append(np.concatenate([p.count, np.zeros(pad, np.int32)])
+                       if pad else p.count)
+        # uniform strips: real offs, then trash padding, then the CH tail
+        offs = np.full(n_strips + CH, sm_eff, np.int32)
+        offs[:p.n_strips] = p.offs[:p.n_strips]
+        offs_p.append(offs)
+        dense = p.a_dense.astype(dense_dtype, copy=False)
+        spad = n_strips - p.n_strips
+        dense_p.append(np.concatenate(
+            [dense[:p.n_strips * tm],
+             np.zeros(((spad + CH) * tm, tk), dense_dtype)])
+            if spad else dense)
+
+    return RowShardedPairPlan(
+        kt=np.concatenate(kt_p), st=np.concatenate(st_p),
+        start=np.concatenate(start_p), count=np.concatenate(count_p),
+        offs=np.concatenate(offs_p), a_dense=np.concatenate(dense_p),
+        shape=(m, k), n_shards=n_shards, m_local=m_local,
+        pairs_per_shard=n_pairs, strips_per_shard=n_strips,
+        tm=tm, tk=tk, chunk_strips=CH, sm=sm_eff)
+
+
+@dataclasses.dataclass(frozen=True)
 class KBucketedTriplets:
     """Per (row-shard, k-shard) triplet buckets, sentinel-padded."""
 

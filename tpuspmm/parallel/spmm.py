@@ -39,9 +39,11 @@ from tpuspmm.ops.xla import spmm_triplets
 from tpuspmm.parallel.shard import (
     RowShardedPlan,
     RowShardedPanelPlan,
+    RowShardedPairPlan,
     KBucketedTriplets,
     shard_rows_tileplan,
     shard_rows_panelplan,
+    shard_rows_pairplan,
     bucket_triplets,
     pad_dense_rows,
 )
@@ -103,10 +105,13 @@ def spmm_row_sharded(a, b, mesh: Mesh, axis: str = "rows",
 
     ``local`` selects the per-chip kernel: "tile" = Pallas tile-sparse MXU
     kernel, "panel" = plan-time-densified panel kernel (the single-chip
-    flagship, supertiled per slab), "xla" = gather + segment-sum.
+    flagship, supertiled per slab), "pair" = run-length pair kernel
+    (zero stored-plan padding), "xla" = gather + segment-sum.
     """
     if local == "panel":
         return _spmm_row_sharded_panel(a, b, mesh, axis, plan, interpret)
+    if local == "pair":
+        return _spmm_row_sharded_pair(a, b, mesh, axis, plan, interpret)
     n_dev = mesh.shape[axis]
     interp = should_interpret(interpret)
     if plan is None:
@@ -222,6 +227,97 @@ def _spmm_row_sharded_panel(a, b, mesh: Mesh, axis: str,
     fn = _row_sharded_panel_callable(
         mesh, axis, plan.m_local,
         tm=plan.tm, tk=plan.tk, panel_strips=plan.panel_strips,
+        sm=plan.sm, n_st=plan.n_supertiles, interpret=interp)
+    out = fn(*args)
+    return out[:m, :n]
+
+
+def _cached_pair_shard_plan(a, n_dev, sm, tm=8, tk=128,
+                            chunk_strips=32) -> RowShardedPairPlan:
+    key = ("pair_shard", n_dev, sm, tm, tk, chunk_strips)
+    cache = getattr(a, "_plan_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(a, "_plan_cache", cache)
+        except Exception:
+            cache = None
+    if cache is not None and key in cache:
+        return cache[key]
+    plan = shard_rows_pairplan(a, n_dev, tm=tm, tk=tk,
+                               chunk_strips=chunk_strips, sm=sm)
+    if cache is not None:
+        cache[key] = plan
+    return plan
+
+
+@functools.lru_cache(maxsize=64)
+def _row_sharded_pair_callable(mesh, axis, m_local, **static):
+    from tpuspmm.kernels.pair_spmm import _pair_spmm
+
+    n_st = static["n_st"]
+    sm = static["sm"]
+    tm = static["tm"]
+
+    def local_fn(kt, st, start, count, offs, a_dense, b_pad):
+        out = _pair_spmm(kt, st, start, count, offs, a_dense, b_pad,
+                         **static)
+        if n_st > 1:
+            n_pad = out.shape[1]
+            out = out.reshape(n_st, sm + tm, n_pad)[:, :sm, :]
+            out = out.reshape(n_st * sm, n_pad)
+        return out[:m_local]
+
+    return jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis), check_vma=False,
+    ))
+
+
+def _spmm_row_sharded_pair(a, b, mesh: Mesh, axis: str,
+                           plan: Optional[RowShardedPairPlan],
+                           interpret):
+    """Row-sharded schedule serving the run-length pair kernel per slab —
+    the zero-plan-padding flagship at mesh scale, collective-free in the
+    forward pass."""
+    from tpuspmm.kernels import pair_spmm
+
+    n_dev = mesh.shape[axis]
+    interp = should_interpret(interpret)
+    b = np.asarray(b, dtype=np.float32)
+    n = b.shape[1]
+    n_pad = round_up(n, 128)
+    if plan is None:
+        m_local_guess = round_up(-(-a.shape[0] // n_dev), 8)
+        sm = pair_spmm.pick_supertile_rows_pair(m_local_guess, n_pad, 8, 128)
+        if sm is None:
+            raise ValueError(
+                f"per-shard output ({m_local_guess}x{n_pad}) narrower than "
+                "one strip of VMEM budget; use local='tile'")
+        plan = _cached_pair_shard_plan(
+            a, n_dev, None if sm >= m_local_guess else sm)
+    m, k = plan.shape
+    if not interp and not pair_spmm.fits_vmem_pair(
+            plan.sm, n_pad, plan.tm, plan.tk,
+            chunk_strips=plan.chunk_strips):
+        raise ValueError(
+            f"per-shard output slab ({plan.sm}x{n_pad}) exceeds the VMEM "
+            "residency budget; rebuild the shard plan with sm from "
+            "pick_supertile_rows_pair, or pass plan=None to auto-supertile")
+    k_pad = round_up(k, plan.tk)
+    b_padded = np.pad(b, ((0, k_pad - k), (0, n_pad - n)))
+
+    shard = functools.partial(_put, mesh)
+    args = (
+        shard(plan.kt, P(axis)), shard(plan.st, P(axis)),
+        shard(plan.start, P(axis)), shard(plan.count, P(axis)),
+        shard(plan.offs, P(axis)), shard(plan.a_dense, P(axis)),
+        shard(b_padded, P()),
+    )
+    fn = _row_sharded_pair_callable(
+        mesh, axis, plan.m_local,
+        tm=plan.tm, tk=plan.tk, chunk_strips=plan.chunk_strips,
         sm=plan.sm, n_st=plan.n_supertiles, interpret=interp)
     out = fn(*args)
     return out[:m, :n]
