@@ -1,29 +1,32 @@
-"""Pallas run-length panel SpMM: one grid step per (supertile, k-tile).
+"""Pallas run-length panel SpMM: zero stored-plan padding.
 
 The panel kernel (panel_spmm.py) trades two costs against each other
 through its strip count P: per-panel grid-step overhead (wants large P)
 versus padding every (supertile, k-tile) pair's strip list to a multiple
 of P (wants small P — measured 18-46% stored-plan waste on the corpus at
-the step-optimal P).  This kernel removes the tradeoff: the grid runs
-over the PAIRS themselves, each step walks its pair's exact strip run
-with an in-kernel double-buffered DMA loop, and the stacked plan stores
-no padding at all:
+the step-optimal P).  This kernel removes the tradeoff: each pair's
+exact strip run is chopped into CH-strip chunks at plan-build time, the
+grid runs over the CHUNKS, and the stacked plan stores no padding at
+all:
 
-    for each pair q = (supertile, k-tile) with strips [s0, s0+count):
-        for each chunk of CH strips (DMA'd HBM→VMEM, ping-pong buffers):
-            acc = chunk @ B[kt·tk : +tk, :]          # MXU, dense
-            for each strip in the chunk:  C[offs[s], :] += acc_strip
+    for each chunk q (CH strips at arbitrary offset cstart[q]):
+        DMA strips [cstart, cstart+CH) of the plan HBM→VMEM   # unaligned
+        acc = chunk @ B[ckt[q]·tk : +tk, :]                   # MXU, dense
+        for each strip i < ccount[q]:  C[offs[cstart+i], :] += acc_strip
 
-Strip runs start at arbitrary (unaligned) offsets, which a BlockSpec
-index map cannot express — hence the manual `make_async_copy` from an
-ANY-space plan array, the Pallas answer to CUDA's free-form global-memory
-pointer arithmetic (cf. the reference's per-warp dynamic row walks,
-reference/src/spmm/csr/spmm_csr_k2.cu:10-58).  The last chunk of a pair
-may read into the next pair's strips; those rows are masked to the local
-trash strip, and the plan carries CH tail strips of zeros so the DMA
-never overruns.  B tiles and the output slab keep the ordinary pipelined
-BlockSpecs (kt- and supertile-indexed), so their streaming behaviour is
-identical to the panel kernel's.
+Chunk runs start at arbitrary (unaligned) strip offsets, which a
+BlockSpec index map cannot express — hence the manual `make_async_copy`
+from an ANY-space plan array, the Pallas answer to CUDA's free-form
+global-memory pointer arithmetic (cf. the reference's per-warp dynamic
+row walks, reference/src/spmm/csr/spmm_csr_k2.cu:10-58).  The copies are
+software-pipelined ACROSS grid steps (step q issues chunk q+1's DMA into
+the other ping-pong slot before waiting on its own), so no copy latency
+is exposed anywhere, including pair boundaries.  A pair's last chunk
+reads past its run into the next pair's strips; those rows are masked to
+the local trash strip, and the plan carries CH tail strips of zeros so
+the DMA never overruns the array.  B tiles and the output slab keep the
+ordinary pipelined BlockSpecs (kt- and supertile-indexed), so their
+streaming behaviour is identical to the panel kernel's.
 
 Same precision tiers as the panel kernel (panel_spmm.panel_matmul);
 plans compact to bf16 under the same lossless-values rule.
@@ -54,7 +57,8 @@ from tpuspmm.kernels.panel_spmm import (
     values_bf16_exact,
 )
 
-# strips per in-kernel DMA chunk: 32 strips = a (256, 128) LHS block —
+# default strips per DMA chunk when the caller pins one (the geometry
+# resolver searches {64,32,16,8}): 32 strips = a (256, 128) LHS block —
 # a full-height MXU operand, 64/128 KiB per copy (bf16/f32)
 CHUNK_STRIPS = 32
 
@@ -105,18 +109,51 @@ class PairPlan:
     def plan_bytes(self) -> int:
         return int(self.a_dense.nbytes)
 
+    def chunk_arrays(self):
+        """Per-chunk grid arrays (c_kt, c_st, c_start, c_count) derived
+        from the pair runs — the kernel grid runs over chunks, one
+        CH-strip DMA each (host numpy, cached)."""
+        cached = getattr(self, "_chunk_arrays", None)
+        if cached is None:
+            cached = build_chunk_arrays(self.kt, self.st, self.start,
+                                        self.count, self.chunk_strips,
+                                        self.n_strips)
+            object.__setattr__(self, "_chunk_arrays", cached)
+        return cached
+
     def device_arrays(self):
         """Device copies, transferred once and cached (same tracer-leak
         guard as PanelPlan.device_arrays)."""
         cached = getattr(self, "_device_arrays", None)
         if cached is None:
             cached = tuple(jnp.asarray(x) for x in
-                           (self.kt, self.st, self.start, self.count,
-                            self.offs, self.a_dense))
+                           (*self.chunk_arrays(), self.offs, self.a_dense))
             if any(isinstance(x, jax.core.Tracer) for x in cached):
                 return cached
             object.__setattr__(self, "_device_arrays", cached)
         return cached
+
+
+def build_chunk_arrays(kt, st, start, count, chunk_strips: int,
+                       n_strips: int):
+    """Chop each pair's strip run into CH-strip chunks.  Empty pairs
+    (missing-supertile fillers) keep ONE chunk with count 0 pointing at
+    the zero tail, so the slab zero-init still fires for their supertile
+    and the DMA stays in bounds."""
+    CH = chunk_strips
+    kt = np.asarray(kt, np.int32)
+    st = np.asarray(st, np.int32)
+    start = np.asarray(start, np.int64)
+    count = np.asarray(count, np.int64)
+    nch = np.maximum(1, -(-count // CH))
+    c_pair = np.repeat(np.arange(len(kt)), nch)
+    within = np.arange(len(c_pair)) - np.repeat(
+        np.concatenate([[0], np.cumsum(nch)[:-1]]), nch)
+    c_start = np.where(count[c_pair] > 0,
+                       start[c_pair] + within * CH,
+                       n_strips).astype(np.int32)
+    c_count = np.clip(count[c_pair] - within * CH, 0, CH).astype(np.int32)
+    return (kt[c_pair], st[c_pair], c_start, c_count)
 
 
 def build_pair_plan(
@@ -220,66 +257,48 @@ def build_pair_plan(
                     tk=tk, chunk_strips=CH, sm=sm, row_perm=row_perm)
 
 
-def _pair_kernel(kt_ref, st_ref, start_ref, count_ref, offs_ref,
-                 a_hbm, b_ref, out_ref, buf0, buf1, sem0, sem1,
-                 *, tm, CH, mode, sm):
+def _pair_kernel(ckt_ref, cst_ref, cstart_ref, ccount_ref, offs_ref,
+                 a_hbm, b_ref, out_ref, bufs, sems, *, tm, CH, mode, sm):
+    """One grid step per CH-strip chunk of a pair's run.  The plan DMA is
+    software-pipelined ACROSS grid steps: step q issues chunk q+1's copy
+    into the other ping-pong slot before waiting on its own, so no DMA
+    latency is exposed at pair boundaries (a per-pair inner DMA loop
+    would stall one copy latency at the start of every pair — with a few
+    hundred pairs that bubble rivals the whole kernel budget)."""
     q = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    def dma(i, slot):
+        return pltpu.make_async_copy(
+            a_hbm.at[pl.ds(cstart_ref[i] * tm, CH * tm), :],
+            bufs.at[slot], sems.at[slot])
+
+    @pl.when(q == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(q + 1 < n_chunks)
+    def _():
+        dma(q + 1, (q + 1) % 2).start()
 
     first = jnp.logical_or(
-        q == 0, st_ref[q] != st_ref[jnp.maximum(q - 1, 0)])
+        q == 0, cst_ref[q] != cst_ref[jnp.maximum(q - 1, 0)])
 
     @pl.when(first)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    start = start_ref[q]
-    count = count_ref[q]
-    nch = (count + CH - 1) // CH
-
-    def copy(j, buf, sem):
-        return pltpu.make_async_copy(
-            a_hbm.at[pl.ds((start + j * CH) * tm, CH * tm), :], buf, sem)
-
-    def compute(buf, j):
-        acc = panel_matmul(buf[...], b_ref[...], mode)
-        base = start + j * CH
-        for i in range(CH):
-            sid = base + i
-            # strips past this pair's run belong to the NEXT pair (their
-            # values would multiply the wrong B tile) — mask to trash
-            off = jnp.where(sid < start + count, offs_ref[sid], sm)
-            off = pl.multiple_of(off, tm)
-            out_ref[pl.ds(off, tm), :] += acc[i * tm:(i + 1) * tm, :]
-
-    @pl.when(nch > 0)
-    def _():
-        copy(0, buf0, sem0).start()
-
-    # software-pipelined ping-pong: chunk j+1's DMA is in flight while
-    # chunk j computes (two chunks per loop iteration, fixed buffers)
-    def body(i, _):
-        j0 = 2 * i
-        j1 = j0 + 1
-
-        @pl.when(j1 < nch)
-        def _():
-            copy(j1, buf1, sem1).start()
-
-        copy(j0, buf0, sem0).wait()
-        compute(buf0, j0)
-
-        @pl.when(j1 < nch)
-        def _():
-            @pl.when(j1 + 1 < nch)
-            def _():
-                copy(j1 + 1, buf0, sem0).start()
-
-            copy(j1, buf1, sem1).wait()
-            compute(buf1, j1)
-
-        return 0
-
-    jax.lax.fori_loop(0, (nch + 1) // 2, body, 0)
+    slot = q % 2
+    dma(q, slot).wait()
+    acc = panel_matmul(bufs[slot], b_ref[...], mode)
+    start = cstart_ref[q]
+    count = ccount_ref[q]
+    for i in range(CH):
+        # strips past this chunk's count belong to the NEXT pair (their
+        # values would multiply the wrong B tile) — mask to trash
+        off = jnp.where(i < count, offs_ref[start + i], sm)
+        off = pl.multiple_of(off, tm)
+        out_ref[pl.ds(off, tm), :] += acc[i * tm:(i + 1) * tm, :]
 
 
 @functools.partial(
@@ -287,31 +306,30 @@ def _pair_kernel(kt_ref, st_ref, start_ref, count_ref, offs_ref,
     static_argnames=("tm", "tk", "chunk_strips", "sm", "n_st", "interpret",
                      "mode"),
 )
-def _pair_spmm(kt, st, start, count, offs, a_dense, b_padded,
+def _pair_spmm(c_kt, c_st, c_start, c_count, offs, a_dense, b_padded,
                *, tm, tk, chunk_strips, sm, n_st, interpret,
                mode="highest"):
     CH = chunk_strips
     n_pad = b_padded.shape[1]
-    n_pairs = kt.shape[0]
+    n_chunks = c_kt.shape[0]
     n_strips = offs.shape[0] - CH
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # kt, st, start, count, offs
-        grid=(n_pairs,),
+        num_scalar_prefetch=5,  # c_kt, c_st, c_start, c_count, offs
+        grid=(n_chunks,),
         in_specs=[
             # the stacked plan stays in HBM; the kernel DMAs strip runs
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-            # one B tile per pair, pipelined on the kt prefetch
+            # one B tile per chunk, pipelined on the kt prefetch (the
+            # block index repeats across a pair's chunks — no re-fetch)
             pl.BlockSpec((tk, n_pad),
                          lambda q, kt_ref, *_: (kt_ref[q], 0)),
         ],
         out_specs=pl.BlockSpec((sm + tm, n_pad),
                                lambda q, kt_ref, st_ref, *_: (st_ref[q], 0)),
         scratch_shapes=[
-            pltpu.VMEM((CH * tm, tk), a_dense.dtype),
-            pltpu.VMEM((CH * tm, tk), a_dense.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CH * tm, tk), a_dense.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -327,7 +345,7 @@ def _pair_spmm(kt, st, start, count, offs, a_dense, b_padded,
         passes = 6  # f32 HIGHEST
     flops = 2 * n_strips * tm * tk * n_pad * passes // 6
     bytes_accessed = (a_dense.size * a_dense.dtype.itemsize
-                      + n_pairs * tk * n_pad * b_padded.dtype.itemsize
+                      + n_chunks * tk * n_pad * b_padded.dtype.itemsize
                       + n_st * (sm + tm) * n_pad * 4)
     out = pl.pallas_call(
         functools.partial(_pair_kernel, tm=tm, CH=CH, mode=mode, sm=sm),
@@ -338,7 +356,7 @@ def _pair_spmm(kt, st, start, count, offs, a_dense, b_padded,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=0),
         interpret=interpret,
-    )(kt, st, start, count, offs, a_dense, b_padded)
+    )(c_kt, c_st, c_start, c_count, offs, a_dense, b_padded)
     return out
 
 
@@ -378,15 +396,21 @@ def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
                           reorder_rows: bool = True,
                           budget_bytes: int | None = None,
                           plan_bytes_cap: int | None = None,
-                          chunk_strips: int = CHUNK_STRIPS):
-    """Pick (row order, supertile rows, DMA chunk) for a pair plan by the
-    same serve-time model as the panel resolver minus the padding term —
-    strips here are exact occupancy, so the only free choices are the
-    ordering (fewer occupied groups), the supertiling (VMEM) and the
-    chunk size (degraded below ``chunk_strips`` only when its ping-pong
-    buffers crowd out the output slab under a tight budget).
-    Returns a PairGeometry or None when inadmissible.  Cached on the
-    container; host-only."""
+                          chunk_strips: int | None = None):
+    """Pick (row order, supertile rows, DMA chunk) for a pair plan.
+
+    The serve-time model per (CH, ordering):
+
+        steps·(step_us + CH·(strip_bytes/bw + strip_us)) [+ perm_us]
+
+    where steps = Σ_pairs ceil(run/CH) + one filler chunk per empty
+    supertile — every chunk DMAs and scatters a full CH strips (a pair's
+    last chunk overreads into the next run, masked to trash), so larger
+    CH amortizes grid-step overhead against overread traffic.  Stored
+    plan bytes are CH-independent (exact strip occupancy).  Pass
+    ``chunk_strips`` to pin CH instead of searching.  Returns a
+    PairGeometry or None when inadmissible.  Cached on the container;
+    host-only."""
     from tpuspmm.engine.report import detect_chip
     from tpuspmm.kernels.dispatch import thresholds
     from tpuspmm.ops.xla import coo_view
@@ -412,23 +436,6 @@ def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
                / (th.get("panel_gather_gbps", 300.0) * 1e3))
 
     m_pad = round_up(max(m, tm), tm)
-    ch = chunk_strips
-    if budget_bytes is None:
-        sm = m_pad
-    else:
-        sm = None
-        while ch >= 8:
-            sm = pick_supertile_rows_pair(m_pad, n_pad, tm, tk,
-                                          budget_bytes, chunk_strips=ch)
-            if sm is not None:
-                break
-            ch //= 2
-        if sm is None:
-            if cache is not None:
-                cache[key] = None
-            return None
-    st_div = max(1, sm // tm)
-    n_st = max(1, -(-m_pad // sm))
     nkt = max(1, -(-k // tk))
     ktile = cols // tk
 
@@ -439,20 +446,32 @@ def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
             inv[perm] = np.arange(m)
             orders.append((perm, inv[rows]))
 
+    ch_candidates = ((chunk_strips,) if chunk_strips is not None
+                     else (64, 32, 16, 8))
     best = None
-    for perm, prows in orders:
-        cnt, occ_st = _st_strip_counts(prows, ktile, nkt, tm, st_div)
-        strips = int(cnt.sum())
-        pairs = len(cnt) + (n_st - occ_st)
-        plan_bytes = strips * strip_bytes
-        if plan_bytes_cap is not None and plan_bytes > plan_bytes_cap:
-            continue
-        cost = (strips * (strip_bytes / bw + strip_us) + pairs * step_us
-                + (perm_us if perm is not None else 0.0))
-        if best is None or cost < best[0] * 0.97:
-            best = (cost, perm, plan_bytes)
+    for ch in ch_candidates:
+        if budget_bytes is None:
+            sm = m_pad
+        else:
+            sm = pick_supertile_rows_pair(m_pad, n_pad, tm, tk,
+                                          budget_bytes, chunk_strips=ch)
+            if sm is None:
+                continue
+        st_div = max(1, sm // tm)
+        n_st = max(1, -(-m_pad // sm))
+        for perm, prows in orders:
+            cnt, occ_st = _st_strip_counts(prows, ktile, nkt, tm, st_div)
+            strips = int(cnt.sum())
+            steps = int(np.sum(-(-cnt // ch))) + (n_st - occ_st)
+            plan_bytes = strips * strip_bytes
+            if plan_bytes_cap is not None and plan_bytes > plan_bytes_cap:
+                continue
+            cost = (steps * (step_us + ch * (strip_bytes / bw + strip_us))
+                    + (perm_us if perm is not None else 0.0))
+            if best is None or cost < best[0] * 0.97:
+                best = (cost, perm, plan_bytes, sm, ch)
     geom = (None if best is None
-            else PairGeometry(best[1], sm, ch, best[2]))
+            else PairGeometry(best[1], best[3], best[4], best[2]))
     if cache is not None:
         cache[key] = geom
     return geom
@@ -511,13 +530,15 @@ def spmm_pair(a_or_plan, b, interpret=None,
               budget_bytes: int = 8 * 1024 * 1024,
               mode: str = "highest",
               tm: int = 8, tk: int = 128,
-              chunk_strips: int = CHUNK_STRIPS):
+              chunk_strips: int | None = None):
     """Container/plan-level entry for the run-length pair kernel.
 
     Same precision tiers as spmm_panel ("highest" gate-exact, "split"
     verified-only); outputs larger than the VMEM budget are row
-    supertiled.  Prefer this kernel when panel padding or grid-step
-    count dominates — the autotuner measures both and serves the winner.
+    supertiled.  ``chunk_strips`` pins the DMA chunk size (the geometry
+    resolver searches otherwise).  Prefer this kernel when panel padding
+    or grid-step count dominates — the autotuner measures both and
+    serves the winner.
     """
     n = int(b.shape[1])
     n_pad = round_up(n, 128)
@@ -526,7 +547,8 @@ def spmm_pair(a_or_plan, b, interpret=None,
     else:
         geom = resolve_pair_geometry(a_or_plan, n_pad, tm=tm, tk=tk,
                                      budget_bytes=budget_bytes,
-                                     plan_bytes_cap=PLAN_BYTES_CAP)
+                                     plan_bytes_cap=PLAN_BYTES_CAP,
+                                     chunk_strips=chunk_strips)
         if geom is None:
             raise ValueError(
                 f"no pair geometry admissible at width {n_pad}: either "
@@ -546,10 +568,10 @@ def spmm_pair(a_or_plan, b, interpret=None,
             "budget; rebuild the plan with a smaller sm or use spmm_tiles")
     k_pad = plan.num_k_tiles * plan.tk
     b_padded = pad_b(jnp.asarray(b), k_pad, n_pad)
-    kt, st, start, count, offs, a_dense = plan.device_arrays()
+    c_kt, c_st, c_start, c_count, offs, a_dense = plan.device_arrays()
     n_st = plan.n_supertiles
     out = _pair_spmm(
-        kt, st, start, count, offs, a_dense, b_padded,
+        c_kt, c_st, c_start, c_count, offs, a_dense, b_padded,
         tm=plan.tm, tk=plan.tk, chunk_strips=plan.chunk_strips,
         sm=plan.sm, n_st=n_st, interpret=interp, mode=mode)
     return finish_panel_output(out, plan, n_st, n_pad, m, n)

@@ -230,22 +230,23 @@ def shard_rows_panelplan(a, n_shards: int, tm: int = 8, tk: int = 128,
 @dataclasses.dataclass(frozen=True)
 class RowShardedPairPlan:
     """Per-shard run-length pair plans (kernels/pair_spmm.py) stacked for
-    shard_map: pairs pad to the max pair count with count=0 entries (st
-    pinned to the last supertile so slab-change zero-init never
-    re-fires), strips pad to the max strip count with trash strips ahead
-    of each shard's CH-strip zero tail."""
+    shard_map: chunk-grid arrays pad to the max chunk count with count=0
+    entries (st pinned to the last supertile so slab-change zero-init
+    never re-fires, start pointing at the shard's CH-strip zero tail),
+    strips pad to the max strip count with trash strips ahead of that
+    tail."""
 
-    kt: np.ndarray      # (n_shards · pairs_per_shard,) int32
-    st: np.ndarray      # (n_shards · pairs_per_shard,) int32
-    start: np.ndarray   # (n_shards · pairs_per_shard,) int32
-    count: np.ndarray   # (n_shards · pairs_per_shard,) int32
-    offs: np.ndarray    # (n_shards · (strips_per_shard + CH),) int32
+    c_kt: np.ndarray     # (n_shards · chunks_per_shard,) int32
+    c_st: np.ndarray     # (n_shards · chunks_per_shard,) int32
+    c_start: np.ndarray  # (n_shards · chunks_per_shard,) int32 — LOCAL
+    c_count: np.ndarray  # (n_shards · chunks_per_shard,) int32
+    offs: np.ndarray     # (n_shards · (strips_per_shard + CH),) int32
     a_dense: np.ndarray  # (n_shards · (strips_per_shard + CH) · tm, tk)
 
     shape: Tuple[int, int]
     n_shards: int
     m_local: int          # padded rows per shard (multiple of tm)
-    pairs_per_shard: int
+    chunks_per_shard: int
     strips_per_shard: int
     tm: int
     tk: int
@@ -265,7 +266,7 @@ def shard_rows_pairplan(a, n_shards: int, tm: int = 8, tk: int = 128,
                         chunk_strips: int = 32,
                         sm: int | None = None) -> RowShardedPairPlan:
     """Split A into ``n_shards`` row slabs and build a PairPlan per slab,
-    padded to uniform (pair, strip) counts so the stack shards evenly
+    padded to uniform (chunk, strip) counts so the stack shards evenly
     over the mesh axis."""
     from tpuspmm.kernels.pair_spmm import build_pair_plan
 
@@ -285,7 +286,8 @@ def shard_rows_pairplan(a, n_shards: int, tm: int = 8, tk: int = 128,
                             chunk_strips=CH, sm=sm))
     sm_eff = plans[0].sm
     n_st = plans[0].n_supertiles
-    n_pairs = max(p.n_pairs for p in plans)
+    chunks = [p.chunk_arrays() for p in plans]
+    n_chunks = max(c[0].shape[0] for c in chunks)
     n_strips = max(p.n_strips for p in plans)
 
     # one shard failing lossless bf16 compaction forces f32 for all —
@@ -295,19 +297,26 @@ def shard_rows_pairplan(a, n_shards: int, tm: int = 8, tk: int = 128,
                    else np.dtype(np.float32))
 
     kt_p, st_p, start_p, count_p, offs_p, dense_p = [], [], [], [], [], []
-    for p in plans:
-        pad = n_pairs - p.n_pairs
-        kt_p.append(np.concatenate([p.kt, np.zeros(pad, np.int32)])
-                    if pad else p.kt)
-        # count=0 fillers ride the LAST supertile: st stays monotone and
-        # the slab-change zero-init never re-fires
-        st_p.append(np.concatenate([p.st, np.full(pad, n_st - 1, np.int32)])
-                    if pad else p.st)
-        start_p.append(np.concatenate(
-            [p.start, np.full(pad, p.n_strips, np.int32)])
-            if pad else p.start)
-        count_p.append(np.concatenate([p.count, np.zeros(pad, np.int32)])
-                       if pad else p.count)
+    for p, (c_kt, c_st, c_start, c_count) in zip(plans, chunks):
+        pad = n_chunks - c_kt.shape[0]
+        if pad:
+            # count=0 fillers ride the LAST supertile (zero-init never
+            # re-fires) and point their DMA at the shard's zero tail —
+            # NB the tail sits at the UNIFORM strip count, so real
+            # shards' filler starts move with the strip padding below
+            c_kt = np.concatenate([c_kt, np.zeros(pad, np.int32)])
+            c_st = np.concatenate([c_st, np.full(pad, n_st - 1, np.int32)])
+            c_start = np.concatenate(
+                [c_start, np.full(pad, n_strips, np.int32)])
+            c_count = np.concatenate([c_count, np.zeros(pad, np.int32)])
+        # per-shard filler chunks built by build_chunk_arrays point at
+        # the shard's own tail (p.n_strips); re-aim them at the uniform
+        # tail so the DMA never reads past this shard's slab
+        c_start = np.where(c_count > 0, c_start, n_strips).astype(np.int32)
+        kt_p.append(c_kt)
+        st_p.append(c_st)
+        start_p.append(c_start)
+        count_p.append(c_count)
         # uniform strips: real offs, then trash padding, then the CH tail
         offs = np.full(n_strips + CH, sm_eff, np.int32)
         offs[:p.n_strips] = p.offs[:p.n_strips]
@@ -320,11 +329,11 @@ def shard_rows_pairplan(a, n_shards: int, tm: int = 8, tk: int = 128,
             if spad else dense)
 
     return RowShardedPairPlan(
-        kt=np.concatenate(kt_p), st=np.concatenate(st_p),
-        start=np.concatenate(start_p), count=np.concatenate(count_p),
+        c_kt=np.concatenate(kt_p), c_st=np.concatenate(st_p),
+        c_start=np.concatenate(start_p), c_count=np.concatenate(count_p),
         offs=np.concatenate(offs_p), a_dense=np.concatenate(dense_p),
         shape=(m, k), n_shards=n_shards, m_local=m_local,
-        pairs_per_shard=n_pairs, strips_per_shard=n_strips,
+        chunks_per_shard=n_chunks, strips_per_shard=n_strips,
         tm=tm, tk=tk, chunk_strips=CH, sm=sm_eff)
 
 

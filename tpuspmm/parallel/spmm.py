@@ -259,8 +259,8 @@ def _row_sharded_pair_callable(mesh, axis, m_local, **static):
     sm = static["sm"]
     tm = static["tm"]
 
-    def local_fn(kt, st, start, count, offs, a_dense, b_pad):
-        out = _pair_spmm(kt, st, start, count, offs, a_dense, b_pad,
+    def local_fn(c_kt, c_st, c_start, c_count, offs, a_dense, b_pad):
+        out = _pair_spmm(c_kt, c_st, c_start, c_count, offs, a_dense, b_pad,
                          **static)
         if n_st > 1:
             n_pad = out.shape[1]
@@ -310,8 +310,8 @@ def _spmm_row_sharded_pair(a, b, mesh: Mesh, axis: str,
 
     shard = functools.partial(_put, mesh)
     args = (
-        shard(plan.kt, P(axis)), shard(plan.st, P(axis)),
-        shard(plan.start, P(axis)), shard(plan.count, P(axis)),
+        shard(plan.c_kt, P(axis)), shard(plan.c_st, P(axis)),
+        shard(plan.c_start, P(axis)), shard(plan.c_count, P(axis)),
         shard(plan.offs, P(axis)), shard(plan.a_dense, P(axis)),
         shard(b_padded, P()),
     )
