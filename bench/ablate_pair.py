@@ -30,6 +30,9 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--repeats", type=int, default=16)
     p.add_argument("--budget-bytes", type=int, default=8 * 1024 * 1024)
+    p.add_argument("--chunks", default="",
+                   help="comma-separated pinned CH values to ablate in "
+                        "addition to the auto pick (e.g. 8,16,32,64)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -79,24 +82,30 @@ def main(argv=None) -> int:
         except Exception as e:
             print(json.dumps({"matrix": name, "kernel": "panel",
                               "error": f"{type(e).__name__}: {e}"}))
-        try:
-            qg = pair_spmm.resolve_pair_geometry(
-                a, n_pad, budget_bytes=args.budget_bytes,
-                plan_bytes_cap=pair_spmm.PLAN_BYTES_CAP)
-            if qg is not None:
+        chs = [None] + [int(c) for c in args.chunks.split(",") if c]
+        for ch in chs:
+            label = "pair" if ch is None else f"pair_ch{ch}"
+            try:
+                qg = pair_spmm.resolve_pair_geometry(
+                    a, n_pad, budget_bytes=args.budget_bytes,
+                    plan_bytes_cap=pair_spmm.PLAN_BYTES_CAP,
+                    chunk_strips=ch)
+                if qg is None:
+                    continue
                 m_pad = round_up(int(a.shape[0]), 8)
                 qp = pair_spmm.pair_plan_from_container(
                     a, chunk_strips=qg.chunk_strips,
-                    sm=None if qg.sm == m_pad else qg.sm, n_pad=n_pad)
-                plans.append(("pair", qp,
+                    sm=None if qg.sm == m_pad else qg.sm, n_pad=n_pad,
+                    geom=qg)
+                plans.append((label, qp,
                               lambda md, pl=qp: lambda bb:
                               pair_spmm.spmm_pair(pl, bb, mode=md),
                               {"CH": qp.chunk_strips, "sm": qg.sm,
                                "perm": qg.row_perm is not None,
-                               "steps": qp.n_pairs}))
-        except Exception as e:
-            print(json.dumps({"matrix": name, "kernel": "pair",
-                              "error": f"{type(e).__name__}: {e}"}))
+                               "steps": int(qp.chunk_arrays()[0].shape[0])}))
+            except Exception as e:
+                print(json.dumps({"matrix": name, "kernel": label,
+                                  "error": f"{type(e).__name__}: {e}"}))
 
         for kernel, plan, mk, extra in plans:
             for mode in ("highest", "split"):
