@@ -59,8 +59,8 @@ def main(argv=None) -> int:
 
     # flagship: the autotuned winner (steady-state serving — one verified
     # measurement pass ranks every admissible engine variant, the ranking
-    # persists in the on-disk tune cache, and the winner is served; on this
-    # headline matrix that is the split-precision C-resident Pallas kernel).
+    # persists in the on-disk tune cache, and the winner is served; the
+    # stderr "# serving:" line names the kernel that actually won).
     from tpuspmm.engine import autotune
     from tpuspmm.engine.registry import get_engine
 
