@@ -218,3 +218,32 @@ def test_fuzz_random_geometry(seed):
     out = np.asarray(pair_spmm.spmm_pair(plan, b, interpret=True))
     assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol), (
         m, k, n, density, sm, ch, perm is not None)
+
+
+def test_width_tiled_matches_oracle():
+    # pin tile_n below the padded width: the plan re-streams per width
+    # tile and each (st, nt) slab zero-inits independently
+    a, _ = _rand_coo(200, 500, 0.02, seed=77)
+    rng = np.random.default_rng(5)
+    b = rng.uniform(-1, 1, (500, 200)).astype(np.float32)  # n_pad=256
+    ref = oracle.spmm_oracle(a, b)
+    out = np.asarray(pair_spmm.spmm_pair(a, b, interpret=True, tile_n=128))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+
+
+def test_resolver_width_tiles_when_slab_too_wide():
+    # a budget too small for even one supertile at full width must yield
+    # a narrower tile_n instead of inadmissibility
+    a, _ = _rand_coo(64, 256, 0.05, seed=9)
+    budget = 300_000  # full width 512: b_bytes+acc alone exceed this
+    geom = pair_spmm.resolve_pair_geometry(a, 512, budget_bytes=budget)
+    assert geom is not None and geom.tile_n < 512
+    assert 512 % geom.tile_n == 0 and geom.tile_n % 128 == 0
+    assert pair_spmm.fits_vmem_pair(geom.sm, geom.tile_n, 8, 128,
+                                    budget, geom.chunk_strips)
+    rng = np.random.default_rng(6)
+    b = rng.uniform(-1, 1, (256, 512)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    out = np.asarray(pair_spmm.spmm_pair(a, b, interpret=True,
+                                         budget_bytes=budget))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)

@@ -265,21 +265,26 @@ def _pair_kernel(ckt_ref, cst_ref, cstart_ref, ccount_ref, offs_ref,
     latency is exposed at pair boundaries (a per-pair inner DMA loop
     would stall one copy latency at the start of every pair — with a few
     hundred pairs that bubble rivals the whole kernel budget)."""
-    q = pl.program_id(0)
-    n_chunks = pl.num_programs(0)
+    nt = pl.program_id(0)      # output-width tile (usually the only one)
+    q = pl.program_id(1)       # chunk id; the plan re-streams per nt
+    n_chunks = pl.num_programs(1)
+    s = nt * n_chunks + q      # linearized step for slot parity / lookahead
+    last = pl.num_programs(0) * n_chunks - 1
 
     def dma(i, slot):
         return pltpu.make_async_copy(
             a_hbm.at[pl.ds(cstart_ref[i] * tm, CH * tm), :],
             bufs.at[slot], sems.at[slot])
 
-    @pl.when(q == 0)
+    @pl.when(s == 0)
     def _():
         dma(0, 0).start()
 
-    @pl.when(q + 1 < n_chunks)
+    @pl.when(s < last)
     def _():
-        dma(q + 1, (q + 1) % 2).start()
+        # next step's chunk: q+1, or chunk 0 when the next width tile
+        # restarts the plan stream
+        dma(jnp.where(q + 1 < n_chunks, q + 1, 0), (s + 1) % 2).start()
 
     first = jnp.logical_or(
         q == 0, cst_ref[q] != cst_ref[jnp.maximum(q - 1, 0)])
@@ -288,7 +293,7 @@ def _pair_kernel(ckt_ref, cst_ref, cstart_ref, ccount_ref, offs_ref,
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    slot = q % 2
+    slot = s % 2
     dma(q, slot).wait()
     acc = panel_matmul(bufs[slot], b_ref[...], mode)
     start = cstart_ref[q]
@@ -304,29 +309,33 @@ def _pair_kernel(ckt_ref, cst_ref, cstart_ref, ccount_ref, offs_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("tm", "tk", "chunk_strips", "sm", "n_st", "interpret",
-                     "mode"),
+                     "mode", "tile_n"),
 )
 def _pair_spmm(c_kt, c_st, c_start, c_count, offs, a_dense, b_padded,
                *, tm, tk, chunk_strips, sm, n_st, interpret,
-               mode="highest"):
+               mode="highest", tile_n=None):
     CH = chunk_strips
     n_pad = b_padded.shape[1]
+    if tile_n is None:
+        tile_n = n_pad
+    n_nt = n_pad // tile_n
     n_chunks = c_kt.shape[0]
     n_strips = offs.shape[0] - CH
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,  # c_kt, c_st, c_start, c_count, offs
-        grid=(n_chunks,),
+        grid=(n_nt, n_chunks),
         in_specs=[
             # the stacked plan stays in HBM; the kernel DMAs strip runs
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             # one B tile per chunk, pipelined on the kt prefetch (the
             # block index repeats across a pair's chunks — no re-fetch)
-            pl.BlockSpec((tk, n_pad),
-                         lambda q, kt_ref, *_: (kt_ref[q], 0)),
+            pl.BlockSpec((tk, tile_n),
+                         lambda nt, q, kt_ref, *_: (kt_ref[q], nt)),
         ],
-        out_specs=pl.BlockSpec((sm + tm, n_pad),
-                               lambda q, kt_ref, st_ref, *_: (st_ref[q], 0)),
+        out_specs=pl.BlockSpec(
+            (sm + tm, tile_n),
+            lambda nt, q, kt_ref, st_ref, *_: (st_ref[q], nt)),
         scratch_shapes=[
             pltpu.VMEM((2, CH * tm, tk), a_dense.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -344,7 +353,7 @@ def _pair_spmm(c_kt, c_st, c_start, c_count, offs, a_dense, b_padded,
     else:
         passes = 6  # f32 HIGHEST
     flops = 2 * n_strips * tm * tk * n_pad * passes // 6
-    bytes_accessed = (a_dense.size * a_dense.dtype.itemsize
+    bytes_accessed = (n_nt * a_dense.size * a_dense.dtype.itemsize
                       + n_chunks * tk * n_pad * b_padded.dtype.itemsize
                       + n_st * (sm + tm) * n_pad * 4)
     out = pl.pallas_call(
@@ -360,36 +369,39 @@ def _pair_spmm(c_kt, c_st, c_start, c_count, offs, a_dense, b_padded,
     return out
 
 
-def fits_vmem_pair(sm: int, n_pad: int, tm: int, tk: int,
+def fits_vmem_pair(sm: int, tile_n: int, tm: int, tk: int,
                    budget_bytes: int = 8 * 1024 * 1024,
                    chunk_strips: int = CHUNK_STRIPS) -> bool:
-    out_bytes = (sm + tm) * n_pad * 4
+    """``tile_n`` is the VMEM-resident output width (= padded B width
+    unless the geometry width-tiles)."""
+    out_bytes = (sm + tm) * tile_n * 4
     buf_bytes = 2 * chunk_strips * tm * tk * 4  # two ping-pong buffers
-    b_bytes = 2 * tk * n_pad * 4                # double-buffered B tile
-    acc_bytes = chunk_strips * tm * n_pad * 4   # chunk accumulator
+    b_bytes = 2 * tk * tile_n * 4               # double-buffered B tile
+    acc_bytes = chunk_strips * tm * tile_n * 4  # chunk accumulator
     return out_bytes + buf_bytes + b_bytes + acc_bytes <= budget_bytes
 
 
-def pick_supertile_rows_pair(m_pad: int, n_pad: int, tm: int, tk: int,
+def pick_supertile_rows_pair(m_pad: int, tile_n: int, tm: int, tk: int,
                              budget_bytes: int = 8 * 1024 * 1024,
                              chunk_strips: int = CHUNK_STRIPS) -> int | None:
     """Largest admissible supertile row count (multiple of tm); m_pad for
     a single supertile; None when even one strip does not fit."""
-    if fits_vmem_pair(m_pad, n_pad, tm, tk, budget_bytes, chunk_strips):
+    if fits_vmem_pair(m_pad, tile_n, tm, tk, budget_bytes, chunk_strips):
         return m_pad
     buf_bytes = 2 * chunk_strips * tm * tk * 4
-    b_bytes = 2 * tk * n_pad * 4
-    acc_bytes = chunk_strips * tm * n_pad * 4
+    b_bytes = 2 * tk * tile_n * 4
+    acc_bytes = chunk_strips * tm * tile_n * 4
     margin = min(256 * 1024, budget_bytes // 8)
     avail = budget_bytes - buf_bytes - b_bytes - acc_bytes - margin
-    sm = (avail // (n_pad * 4) - tm) // tm * tm
+    sm = (avail // (tile_n * 4) - tm) // tm * tm
     if sm < tm:
         return None
     return min(sm, m_pad)
 
 
 PairGeometry = dataclasses.make_dataclass(
-    "PairGeometry", ["row_perm", "sm", "chunk_strips", "plan_bytes"])
+    "PairGeometry", ["row_perm", "sm", "chunk_strips", "plan_bytes",
+                     "tile_n"])
 
 
 def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
@@ -408,9 +420,12 @@ def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
     last chunk overreads into the next run, masked to trash), so larger
     CH amortizes grid-step overhead against overread traffic.  Stored
     plan bytes are CH-independent (exact strip occupancy).  Pass
-    ``chunk_strips`` to pin CH instead of searching.  Returns a
-    PairGeometry or None when inadmissible.  Cached on the container;
-    host-only."""
+    ``chunk_strips`` to pin CH instead of searching.  When even the
+    smallest supertile cannot hold the full padded width, the output is
+    width-tiled: the widest 128-multiple divisor of n_pad that admits a
+    supertile wins (the plan re-streams once per width tile, so wider is
+    cheaper).  Returns a PairGeometry or None when inadmissible.  Cached
+    on the container; host-only."""
     from tpuspmm.engine.report import detect_chip
     from tpuspmm.kernels.dispatch import thresholds
     from tpuspmm.ops.xla import coo_view
@@ -448,30 +463,39 @@ def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
 
     ch_candidates = ((chunk_strips,) if chunk_strips is not None
                      else (64, 32, 16, 8))
+    tile_candidates = [d * 128 for d in range(n_pad // 128, 0, -1)
+                       if n_pad % (d * 128) == 0]
     best = None
-    for ch in ch_candidates:
-        if budget_bytes is None:
-            sm = m_pad
-        else:
-            sm = pick_supertile_rows_pair(m_pad, n_pad, tm, tk,
-                                          budget_bytes, chunk_strips=ch)
-            if sm is None:
-                continue
-        st_div = max(1, sm // tm)
-        n_st = max(1, -(-m_pad // sm))
-        for perm, prows in orders:
-            cnt, occ_st = _st_strip_counts(prows, ktile, nkt, tm, st_div)
-            strips = int(cnt.sum())
-            steps = int(np.sum(-(-cnt // ch))) + (n_st - occ_st)
-            plan_bytes = strips * strip_bytes
-            if plan_bytes_cap is not None and plan_bytes > plan_bytes_cap:
-                continue
-            cost = (steps * (step_us + ch * (strip_bytes / bw + strip_us))
-                    + (perm_us if perm is not None else 0.0))
-            if best is None or cost < best[0] * 0.97:
-                best = (cost, perm, plan_bytes, sm, ch)
+    for tile_n in tile_candidates:
+        n_nt = n_pad // tile_n
+        for ch in ch_candidates:
+            if budget_bytes is None:
+                sm = m_pad
+            else:
+                sm = pick_supertile_rows_pair(m_pad, tile_n, tm, tk,
+                                              budget_bytes, chunk_strips=ch)
+                if sm is None:
+                    continue
+            st_div = max(1, sm // tm)
+            n_st = max(1, -(-m_pad // sm))
+            for perm, prows in orders:
+                cnt, occ_st = _st_strip_counts(prows, ktile, nkt, tm,
+                                               st_div)
+                strips = int(cnt.sum())
+                steps = (int(np.sum(-(-cnt // ch))) + (n_st - occ_st))
+                plan_bytes = strips * strip_bytes
+                if (plan_bytes_cap is not None
+                        and plan_bytes > plan_bytes_cap):
+                    continue
+                cost = (n_nt * steps
+                        * (step_us + ch * (strip_bytes / bw + strip_us))
+                        + (perm_us if perm is not None else 0.0))
+                if best is None or cost < best[0] * 0.97:
+                    best = (cost, perm, plan_bytes, sm, ch, tile_n)
+        if best is not None:
+            break  # widest admissible tile wins; narrower only re-streams
     geom = (None if best is None
-            else PairGeometry(best[1], best[3], best[4], best[2]))
+            else PairGeometry(best[1], best[3], best[4], best[2], best[5]))
     if cache is not None:
         cache[key] = geom
     return geom
@@ -530,15 +554,18 @@ def spmm_pair(a_or_plan, b, interpret=None,
               budget_bytes: int = 8 * 1024 * 1024,
               mode: str = "highest",
               tm: int = 8, tk: int = 128,
-              chunk_strips: int | None = None):
+              chunk_strips: int | None = None,
+              tile_n: int | None = None):
     """Container/plan-level entry for the run-length pair kernel.
 
     Same precision tiers as spmm_panel ("highest" gate-exact, "split"
     verified-only); outputs larger than the VMEM budget are row
-    supertiled.  ``chunk_strips`` pins the DMA chunk size (the geometry
-    resolver searches otherwise).  Prefer this kernel when panel padding
-    or grid-step count dominates — the autotuner measures both and
-    serves the winner.
+    supertiled, and widths whose slab cannot fit even one supertile are
+    width-tiled (``tile_n`` pins that tile; auto otherwise).
+    ``chunk_strips`` pins the DMA chunk size (the geometry resolver
+    searches otherwise).  Prefer this kernel when panel padding or
+    grid-step count dominates — the autotuner measures both and serves
+    the winner.
     """
     n = int(b.shape[1])
     n_pad = round_up(n, 128)
@@ -559,13 +586,26 @@ def spmm_pair(a_or_plan, b, interpret=None,
             a_or_plan, tm=tm, tk=tk, chunk_strips=geom.chunk_strips,
             sm=None if geom.sm == m_pad else geom.sm, n_pad=n_pad,
             geom=geom)
+        if tile_n is None:
+            tile_n = geom.tile_n
     m, k = plan.shape
     interp = should_interpret(interpret)
-    if not interp and not fits_vmem_pair(plan.sm, n_pad, plan.tm, plan.tk,
-                                         budget_bytes, plan.chunk_strips):
+    if tile_n is None:
+        # explicit-plan path: widest 128-multiple divisor of n_pad whose
+        # slab fits the budget at the plan's supertiling
+        for t in (d * 128 for d in range(n_pad // 128, 0, -1)
+                  if n_pad % (d * 128) == 0):
+            if fits_vmem_pair(plan.sm, t, plan.tm, plan.tk,
+                              budget_bytes, plan.chunk_strips):
+                tile_n = t
+                break
+    if not interp and (tile_n is None or not fits_vmem_pair(
+            plan.sm, tile_n, plan.tm, plan.tk, budget_bytes,
+            plan.chunk_strips)):
         raise ValueError(
-            f"output slab ({plan.sm}x{n_pad}) exceeds the VMEM residency "
-            "budget; rebuild the plan with a smaller sm or use spmm_tiles")
+            f"output slab ({plan.sm}x{tile_n or n_pad}) exceeds the VMEM "
+            "residency budget; rebuild the plan with a smaller sm or use "
+            "spmm_tiles")
     k_pad = plan.num_k_tiles * plan.tk
     b_padded = pad_b(jnp.asarray(b), k_pad, n_pad)
     c_kt, c_st, c_start, c_count, offs, a_dense = plan.device_arrays()
@@ -573,5 +613,6 @@ def spmm_pair(a_or_plan, b, interpret=None,
     out = _pair_spmm(
         c_kt, c_st, c_start, c_count, offs, a_dense, b_padded,
         tm=plan.tm, tk=plan.tk, chunk_strips=plan.chunk_strips,
-        sm=plan.sm, n_st=n_st, interpret=interp, mode=mode)
+        sm=plan.sm, n_st=n_st, interpret=interp, mode=mode,
+        tile_n=None if tile_n == n_pad else tile_n)
     return finish_panel_output(out, plan, n_st, n_pad, m, n)
