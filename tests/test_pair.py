@@ -247,3 +247,28 @@ def test_resolver_width_tiles_when_slab_too_wide():
     out = np.asarray(pair_spmm.spmm_pair(a, b, interpret=True,
                                          budget_bytes=budget))
     assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+
+
+def test_dispatch_serves_pair_when_panel_inadmissible():
+    # a width whose full slab cannot hold even one panel supertile: the
+    # panel resolver rejects, and dispatch must route to the width-tiled
+    # pair kernel rather than fall back to the tile kernels
+    from tpuspmm.config import Config
+    from tpuspmm.kernels import dispatch, panel_spmm
+
+    a, _ = _rand_coo(512, 600, 0.002, seed=51)
+    rng = np.random.default_rng(4)
+    b = rng.uniform(-1, 1, (600, 512)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    budget = 300_000
+    assert panel_spmm.resolve_panel_geometry(
+        a, 512, budget_bytes=budget,
+        plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP) is None
+    geom = pair_spmm.resolve_pair_geometry(a, 512, budget_bytes=budget)
+    assert geom is not None and geom.tile_n < 512
+    cfg = Config(interpret=True, vmem_budget_bytes=budget)
+    out = np.asarray(dispatch.spmm_pallas(a, b, interpret=True, config=cfg))
+    assert allclose(out, ref, cfg.rel_tol, cfg.abs_tol)
+    # the pair path actually built a plan
+    plans = getattr(a, "_plan_cache", {})
+    assert any(k[0] == "pair" for k in plans), plans.keys()

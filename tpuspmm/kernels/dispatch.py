@@ -179,6 +179,18 @@ def spmm_pallas(a, b, interpret=None, config=None):
         return panel_spmm.spmm_panel(pplan, b, interpret=interpret,
                                      budget_bytes=budget)
 
+    # the run-length pair kernel admits geometries the panel cannot
+    # (width-tiled outputs too wide for any supertile) at the same
+    # plan-affordability class — prefer it over the tile kernels there
+    from tpuspmm.kernels import pair_spmm
+
+    pgeom = pair_spmm.resolve_pair_geometry(
+        a, n_pad, budget_bytes=budget,
+        plan_bytes_cap=th["panel_max_plan_bytes"])
+    if pgeom is not None:
+        return pair_spmm.spmm_pair(a, b, interpret=interpret,
+                                   budget_bytes=budget)
+
     plan = tile_spmm.plan_from_container(
         a, tile_m=config.tile_m, tile_k=config.tile_k, chunk=config.chunk_nnz)
     if a.nnz / max(plan.num_chunks, 1) >= th["tile_min_nnz_per_chunk"]:
