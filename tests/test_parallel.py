@@ -251,3 +251,35 @@ def test_2d_mesh_wide_b_not_multiple_of_tile():
     out = np.asarray(spmm_2d(a, b, mesh))
     assert not np.isnan(out).any()
     assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_row_sharded_pair_empty_supertile_and_uneven_strips():
+    # shard 0: nnz only in its FIRST supertile (second empty → filler
+    # chunk, re-aimed at the uniform zero tail); shard 1: dense enough
+    # that shard 0's strips need padding to the uniform count
+    from tpuspmm.formats import COO
+    from tpuspmm.parallel.shard import shard_rows_pairplan
+
+    rng = np.random.default_rng(11)
+    m, k = 128, 256
+    # shard 0 = rows 0..63: two nnz in rows 0..31 only
+    r0 = np.array([3, 17], np.int32)
+    c0 = np.array([5, 200], np.int32)
+    # shard 1 = rows 64..127: every row occupied
+    r1 = np.arange(64, 128, dtype=np.int32)
+    c1 = rng.integers(0, k, 64).astype(np.int32)
+    rows = np.concatenate([r0, r1])
+    cols = np.concatenate([c0, c1])
+    vals = rng.uniform(-5, 5, rows.size).astype(np.float32)
+    a = COO(shape=(m, k), rows=rows, cols=cols, values=vals)
+    b = rng.uniform(-1, 1, (k, 40)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+
+    plan = shard_rows_pairplan(a, 2, sm=32, chunk_strips=8)
+    assert plan.n_supertiles == 2
+    # shard 0 stored fewer strips than the uniform count (padding hit)
+    n_half = plan.chunks_per_shard
+    assert (plan.c_count[:n_half] == 0).any()  # filler chunk present
+    mesh = make_mesh((2,), ("rows",))
+    out = np.asarray(spmm_row_sharded(a, b, mesh, local="pair", plan=plan))
+    assert allclose(out, ref, 1e-2, 1e-3)
