@@ -44,7 +44,8 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--schedule", default="row_sharded", choices=["row_sharded", "ring"])
-    p.add_argument("--local", default="xla", choices=["xla", "tile", "panel"],
+    p.add_argument("--local", default="xla",
+                   choices=["xla", "tile", "panel", "pair"],
                    help="per-chip kernel for the row-sharded schedule")
     args = p.parse_args(argv)
 
@@ -85,6 +86,12 @@ def main(argv=None) -> int:
 
             plan = shard_rows_panelplan(a, n)
             fn = lambda: spmm_row_sharded(a, b, mesh, local="panel",
+                                          plan=plan)
+        elif args.local == "pair":
+            from tpuspmm.parallel.shard import shard_rows_pairplan
+
+            plan = shard_rows_pairplan(a, n)
+            fn = lambda: spmm_row_sharded(a, b, mesh, local="pair",
                                           plan=plan)
         else:
             plan = shard_rows_tileplan(a, n)
