@@ -36,12 +36,50 @@ def _device_seconds(fn_of_b, b_dev, iters: int = 16) -> float:
 
 
 def main(argv=None) -> int:
+    """Wedge-proof capture: gate on a bounded tunnel probe before touching
+    the backend in-process, and degrade to a CPU-backed (clearly labelled)
+    record rather than fail if the device path dies mid-measurement.
+    Round 2's BENCH_r02.json was rc=1 purely from a wedged tunnel at
+    capture time — the record stream must survive infra hiccups, like the
+    reference's always-emitted reports (engine.cpp:36-55)."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    forced_cpu = os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+    degraded = False
+    if not forced_cpu and os.environ.get("TPUSPMM_BENCH_NO_AWAIT") != "1":
+        from bench.await_tpu import await_tpu
+
+        budget = float(os.environ.get("TPUSPMM_BENCH_AWAIT_BUDGET_S", "1800"))
+        if not await_tpu(budget_s=budget):
+            print("# bench: TPU unusable after probe budget — degraded CPU "
+                  "record", file=sys.stderr)
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            degraded = True
+    try:
+        return _run(argv, degraded=degraded or forced_cpu)
+    except Exception as e:  # backend died after the probe passed
+        if degraded or forced_cpu:
+            raise
+        print(f"# bench: device measurement failed ({type(e).__name__}: {e});"
+              " retrying degraded on CPU in a fresh process", file=sys.stderr)
+        import subprocess
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["TPUSPMM_BENCH_NO_AWAIT"] = "1"
+        env["TPUSPMM_BENCH_DEGRADED"] = "1"
+        res = subprocess.run([sys.executable, os.path.abspath(__file__)]
+                             + argv, env=env)
+        return res.returncode
+
+
+def _run(argv, degraded: bool = False) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--data-dir", default=_data_dir("large_25605")
                    or os.path.join(REF_DATA, "large_25605"))
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--repeats", type=int, default=20)
     args = p.parse_args(argv)
+    degraded = degraded or os.environ.get("TPUSPMM_BENCH_DEGRADED") == "1"
 
     import jax
     import jax.numpy as jnp
@@ -124,6 +162,10 @@ def main(argv=None) -> int:
         "correct": bool(correct),
         "backend": jax.default_backend(),
     }
+    if degraded:
+        # CPU stand-in numbers: vs_baseline (ours vs vendor, same backend,
+        # same window) stays meaningful; absolute GFLOP/s does not.
+        record["degraded"] = True
     print(json.dumps(record))
     return 0 if correct else 1
 

@@ -249,6 +249,74 @@ def test_tuned_serving_skips_verified_only_by_default():
         np.testing.assert_array_equal(served, out_safe)
 
 
+def test_autotune_key_carries_config_fingerprint():
+    """A ranking measured under one precision_mode/geometry must not be
+    served under another (advisor finding r2): both the in-memory and
+    disk keys must change when numerics-relevant Config fields change."""
+    import dataclasses as dc
+
+    from tpuspmm.engine import autotune
+    from tpuspmm.config import Config
+
+    a = CSR.random(64, 96, 0.2, seed=3)
+    b = np.zeros((96, 32), np.float32)
+    c1 = Config()
+    c2 = dc.replace(c1, precision_mode="split2")
+    c3 = dc.replace(c1, tile_k=256)
+    assert autotune._tune_key(b, c1) != autotune._tune_key(b, c2)
+    assert autotune._disk_key(a, b, c1) != autotune._disk_key(a, b, c2)
+    assert autotune._disk_key(a, b, c1) != autotune._disk_key(a, b, c3)
+    # non-numeric fields don't churn the cache
+    c4 = dc.replace(c1, interpret=True)
+    assert autotune._disk_key(a, b, c1) == autotune._disk_key(a, b, c4)
+
+
+def test_autotune_budget_and_resume(tmp_path, monkeypatch):
+    """VERDICT r2 #6: a budgeted-out (or killed) tune run persists partial
+    results atomically and resumes without re-measuring finished
+    variants."""
+    import json
+
+    from tpuspmm.engine import autotune
+
+    monkeypatch.setenv("TPUSPMM_TUNE_CACHE", str(tmp_path / "tune.json"))
+    a = CSR.random(100, 140, 0.08, seed=11)
+    b = np.random.default_rng(2).standard_normal((140, 32)).astype(np.float32)
+
+    # budget 0 after the first variant: the pass stops early, partial entry
+    ranking1 = autotune.tune(a, b, iters=1, budget_s=0.0)
+    data = json.load(open(tmp_path / "tune.json"))
+    (key, entry), = data.items()
+    assert not entry["complete"]
+    n_done_1 = len(entry["done"])
+    assert n_done_1 < get_engine("csr").num_kernels
+
+    # resume: finishes the rest without redoing the done set
+    measured = []
+    from tpuspmm.utils import timing
+
+    orig = timing.device_time_ms
+
+    def spy(fn, b_, iters=1, **kw):
+        measured.append(1)
+        return orig(fn, b_, iters=iters, **kw)
+
+    monkeypatch.setattr(timing, "device_time_ms", spy)
+    a2 = CSR(a.indptr, a.indices, a.values, a.shape)  # fresh container,
+    # same digest — forces the disk-cache path, not the in-memory one
+    ranking2 = autotune.tune(a2, b, iters=1)
+    entry2 = json.load(open(tmp_path / "tune.json"))[key]
+    assert entry2["complete"]
+    assert set(entry["done"]) <= set(entry2["done"])
+    assert len(measured) <= get_engine("csr").num_kernels - n_done_1 + 1
+    # a third call serves the completed entry with zero measurements
+    measured.clear()
+    a3 = CSR(a.indptr, a.indices, a.values, a.shape)
+    ranking3 = autotune.tune(a3, b, iters=1)
+    assert not measured
+    assert [r.variant_name for r in ranking3] == [r.variant_name for r in ranking2]
+
+
 def test_auto_spmm_wide_b_does_not_crash():
     """Regression: select_format assumed width 256; a wide B made the
     C-resident recommendation inadmissible and raised instead of falling

@@ -23,7 +23,8 @@ import dataclasses
 import hashlib
 import json
 import os
-from typing import List, Optional
+import time
+from typing import List, Optional, Set, Tuple
 
 import numpy as np
 
@@ -40,8 +41,25 @@ class TuneResult:
     verified_only: bool = False
 
 
-def _tune_key(b) -> tuple:
-    return ("tuned", int(np.shape(b)[1]))
+def _config_fp(config=None) -> str:
+    """Fingerprint of the Config fields that change a variant's numerics
+    or geometry.  A ranking measured (and gate-verified) under one
+    precision_mode / tile geometry must never be served under another —
+    e.g. tune under precision_mode='split' then serve under 'split2'
+    would run un-verified ~2^-17 numerics through a 'verified' winner
+    (advisor finding, round 2)."""
+    if config is None:
+        from tpuspmm.config import default_config
+
+        config = default_config()
+    key = (config.precision_mode, config.tile_m, config.tile_k,
+           config.chunk_nnz, config.tile_n_cap, config.vmem_budget_bytes,
+           config.panel_strips)
+    return hashlib.sha1(repr(key).encode()).hexdigest()[:8]
+
+
+def _tune_key(b, config=None) -> tuple:
+    return ("tuned", int(np.shape(b)[1]), _config_fp(config))
 
 
 def _as_tunable(a):
@@ -106,16 +124,21 @@ def _engine_rev(fmt: str) -> str:
     return hashlib.sha1(names.encode()).hexdigest()[:8]
 
 
-def _disk_key(a, b) -> str:
+def _disk_key(a, b, config=None) -> str:
     from tpuspmm.engine.report import detect_chip
 
-    # v2: entries carry verified_only; v1 entries (which don't) must not
-    # be served as if their winners were unconditionally safe
-    return (f"v2:{matrix_digest(a)}:{a.format_name}:n{int(np.shape(b)[1])}"
-            f":{detect_chip()}:e{_engine_rev(a.format_name)}")
+    # v3: entries carry the Config fingerprint (a ranking verified under
+    # one precision/geometry must not be served under another) and a
+    # done/complete resume ledger; v1/v2 entries never match a v3 key.
+    return (f"v3:{matrix_digest(a)}:{a.format_name}:n{int(np.shape(b)[1])}"
+            f":{detect_chip()}:e{_engine_rev(a.format_name)}"
+            f":c{_config_fp(config)}")
 
 
-def _disk_load(key: str) -> Optional[List[TuneResult]]:
+def _disk_load(key: str) -> Optional[Tuple[List[TuneResult], Set[str], bool]]:
+    """Load a v3 cache entry → (results, variants-already-attempted,
+    complete?).  Partial entries (killed/budgeted-out tune runs) resume
+    instead of re-measuring."""
     path = _disk_cache_path()
     try:
         with open(path) as f:
@@ -123,14 +146,16 @@ def _disk_load(key: str) -> Optional[List[TuneResult]]:
         entry = data.get(key)
         if entry is None:
             return None
-        return [TuneResult(e["variant_name"], e["number"], e["ms"],
-                           e.get("verified_only", False))
-                for e in entry]
+        results = [TuneResult(e["variant_name"], e["number"], e["ms"],
+                              e.get("verified_only", False))
+                   for e in entry["results"]]
+        return results, set(entry.get("done", [])), bool(entry.get("complete"))
     except Exception:
         return None
 
 
-def _disk_store(key: str, results: List[TuneResult]) -> None:
+def _disk_store(key: str, results: List[TuneResult], done: Set[str],
+                complete: bool) -> None:
     path = _disk_cache_path()
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -138,20 +163,35 @@ def _disk_store(key: str, results: List[TuneResult]) -> None:
         if os.path.exists(path):
             with open(path) as f:
                 data = json.load(f)
-        data[key] = [dataclasses.asdict(r) for r in results]
-        with open(path, "w") as f:
+        data[key] = {"results": [dataclasses.asdict(r) for r in results],
+                     "done": sorted(done), "complete": complete}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)  # atomic — a killed run never truncates it
     except Exception:
         pass  # the disk cache is best-effort
 
 
 def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
-         verify: bool = True, use_disk_cache: bool = True) -> List[TuneResult]:
+         verify: bool = True, use_disk_cache: bool = True,
+         budget_s: Optional[float] = None,
+         resume: bool = True) -> List[TuneResult]:
     """Measure every admissible variant of `a`'s format engine; cache and
     return the ranking (fastest first).  With ``verify`` (default), a
     variant only enters the ranking if its result passes the correctness
     gate against the scipy oracle — the tuned path must never serve a
-    fast-but-wrong kernel."""
+    fast-but-wrong kernel.
+
+    Unattended-run hardening: every verified per-variant measurement is
+    persisted to the disk cache IMMEDIATELY (atomic replace), so a tune
+    run killed mid-pass — e.g. a wedged TPU tunnel — resumes from the
+    last finished variant instead of re-measuring (``resume``, default
+    on).  ``budget_s`` bounds the pass: once exceeded, remaining variants
+    are left for a future resume and the entry is stored as partial.
+    (The budget is checked between variants — an in-flight compile cannot
+    be safely interrupted on this backend; see CLAUDE.md on the tunnel
+    wedge.)"""
     import jax.numpy as jnp
 
     from tpuspmm.config import default_config
@@ -162,12 +202,21 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
     config = config or default_config()
     a = _as_tunable(a)
 
-    dkey = _disk_key(a, b) if use_disk_cache else None
+    dkey = _disk_key(a, b, config) if use_disk_cache else None
+    results: List[TuneResult] = []
+    done: Set[str] = set()
     if dkey is not None:
         cached = _disk_load(dkey)
-        if cached:
-            _attach(a, b, cached)
-            return cached
+        if cached is not None:
+            results, done, complete = cached
+            if complete and results:
+                _attach(a, b, results, config)
+                return results
+            if not resume:
+                results, done = [], set()
+            elif verbose and done:
+                print(f"# tune: resuming — {len(done)} variants already "
+                      f"attempted, {len(results)} ranked")
 
     engine = get_engine(a.format_name)
     b_dev = jnp.asarray(b, dtype=jnp.float32)
@@ -176,38 +225,62 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
         from tpuspmm.ops import oracle
 
         ref = oracle.spmm_scipy_oracle(a, np.asarray(b_dev))
-    results: List[TuneResult] = []
+    t_start = time.monotonic()
+    out_of_budget = False
+    attempted = 0  # measurement attempts THIS call — at least one per call,
+    # so a tight budget still makes forward progress across resumes
+    persist = dkey is not None and verify  # only VERIFIED rankings persist —
+    # a verify=False run would otherwise poison later verify=True tunes
+
     for variant in engine.variants:
-        if variant.admissible is not None and not variant.admissible(a, b_dev, config):
+        if variant.name in done:
             continue
+        if (budget_s is not None and attempted > 0
+                and time.monotonic() - t_start > budget_s):
+            out_of_budget = True
+            if verbose:
+                print(f"# tune: budget {budget_s:.0f}s exhausted; "
+                      f"remaining variants left for resume")
+            break
+        if variant.admissible is not None and not variant.admissible(a, b_dev, config):
+            done.add(variant.name)  # deterministic — safe to persist
+            continue
+        attempted += 1
         try:
             out = variant.fn(a, b_dev, config)  # warm caches/compile
             if ref is not None and not allclose(
                     np.asarray(out), ref, config.rel_tol, config.abs_tol):
                 if verbose:
                     print(f"# tune: {variant.name} failed the gate; excluded")
+                done.add(variant.name)  # deterministic numerics — persist
+                if persist:
+                    _disk_store(dkey, results, done, complete=False)
                 continue
             ms = device_time_ms(lambda bb, v=variant: v.fn(a, bb, config),
                                 b_dev, iters=iters)
         except Exception as e:
             if verbose:
                 print(f"# tune: {variant.name} failed: {type(e).__name__}: {e}")
+            # NOT added to the persisted ledger: an exception may be a
+            # transient backend fault (the wedge this hardening exists
+            # for) — a future resume must retry it, not skip it forever
             continue
+        done.add(variant.name)
         results.append(TuneResult(variant.name, variant.number, round(ms, 4),
                                   bool(variant.verified_only)))
+        if persist:
+            _disk_store(dkey, results, done, complete=False)
         if verbose:
             print(f"# tune: {variant.name}: {ms:.3f} ms")
     results.sort(key=lambda r: r.ms)
 
-    _attach(a, b, results)
-    # only VERIFIED rankings may persist — a verify=False run would
-    # otherwise poison later verify=True tunes through the shared key
-    if dkey is not None and results and verify:
-        _disk_store(dkey, results)
+    _attach(a, b, results, config)
+    if persist and results:
+        _disk_store(dkey, results, done, complete=not out_of_budget)
     return results
 
 
-def _attach(a, b, results: List[TuneResult]) -> None:
+def _attach(a, b, results: List[TuneResult], config=None) -> None:
     cache = getattr(a, "_tune_cache", None)
     if cache is None:
         cache = {}
@@ -216,7 +289,7 @@ def _attach(a, b, results: List[TuneResult]) -> None:
         except Exception:
             return
     if results:
-        cache[_tune_key(b)] = results
+        cache[_tune_key(b, config)] = results
 
 
 def spmm_tuned(a, b, config=None, allow_verified_only: bool = False):
@@ -236,7 +309,7 @@ def spmm_tuned(a, b, config=None, allow_verified_only: bool = False):
     config = config or default_config()
     a = _as_tunable(a)
     cache = getattr(a, "_tune_cache", None) or {}
-    ranking = cache.get(_tune_key(b))
+    ranking = cache.get(_tune_key(b, config))
     if ranking is None:
         ranking = tune(a, b, config=config)
     if not allow_verified_only:
