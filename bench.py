@@ -43,7 +43,11 @@ def main(argv=None) -> int:
     capture time — the record stream must survive infra hiccups, like the
     reference's always-emitted reports (engine.cpp:36-55)."""
     argv = list(sys.argv[1:] if argv is None else argv)
-    forced_cpu = os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+    # NB the machine's sitecustomize force-registers the axon backend and
+    # IGNORES the JAX_PLATFORMS env var — CPU degradation must go through
+    # jax.config.update("jax_platforms", ...) before first device use
+    # (see .claude/skills/verify/SKILL.md), which _run does when degraded.
+    forced_cpu = os.environ.get("TPUSPMM_BENCH_DEGRADED") == "1"
     degraded = False
     if not forced_cpu and os.environ.get("TPUSPMM_BENCH_NO_AWAIT") != "1":
         from bench.await_tpu import await_tpu
@@ -52,7 +56,6 @@ def main(argv=None) -> int:
         if not await_tpu(budget_s=budget):
             print("# bench: TPU unusable after probe budget — degraded CPU "
                   "record", file=sys.stderr)
-            os.environ["JAX_PLATFORMS"] = "cpu"
             degraded = True
     try:
         return _run(argv, degraded=degraded or forced_cpu)
@@ -64,7 +67,6 @@ def main(argv=None) -> int:
         import subprocess
 
         env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
         env["TPUSPMM_BENCH_NO_AWAIT"] = "1"
         env["TPUSPMM_BENCH_DEGRADED"] = "1"
         res = subprocess.run([sys.executable, os.path.abspath(__file__)]
@@ -73,13 +75,17 @@ def main(argv=None) -> int:
 
 
 def _run(argv, degraded: bool = False) -> int:
+    if degraded or os.environ.get("TPUSPMM_BENCH_DEGRADED") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        degraded = True
     p = argparse.ArgumentParser()
     p.add_argument("--data-dir", default=_data_dir("large_25605")
                    or os.path.join(REF_DATA, "large_25605"))
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--repeats", type=int, default=20)
     args = p.parse_args(argv)
-    degraded = degraded or os.environ.get("TPUSPMM_BENCH_DEGRADED") == "1"
 
     import jax
     import jax.numpy as jnp

@@ -108,7 +108,7 @@ def main(argv=None) -> int:
                                   "error": f"{type(e).__name__}: {e}"}))
 
         for kernel, plan, mk, extra in plans:
-            for mode in ("highest", "split"):
+            for mode in ("highest", "split2"):
                 try:
                     fn = mk(mode)
                     out = np.asarray(fn(b_dev))

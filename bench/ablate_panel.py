@@ -76,7 +76,7 @@ def main(argv=None) -> int:
                                       "error": "inadmissible"}))
                     continue
                 plan = panel_spmm.panel_plan_from_geometry(a, geom)
-                for mode in ("highest", "split"):
+                for mode in ("highest", "split2"):
                     fn = (lambda md: lambda bb: panel_spmm.spmm_panel(
                         plan, bb, mode=md))(mode)
                     out = np.asarray(fn(b_dev))

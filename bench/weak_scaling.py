@@ -81,18 +81,13 @@ def main(argv=None) -> int:
         if args.schedule == "ring":
             buckets = bucket_triplets(a, n, n)
             fn = lambda: spmm_ring(a, b, mesh, buckets=buckets)
-        elif args.local == "panel":
-            from tpuspmm.parallel.shard import shard_rows_panelplan
-
-            plan = shard_rows_panelplan(a, n)
-            fn = lambda: spmm_row_sharded(a, b, mesh, local="panel",
-                                          plan=plan)
-        elif args.local == "pair":
-            from tpuspmm.parallel.shard import shard_rows_pairplan
-
-            plan = shard_rows_pairplan(a, n)
-            fn = lambda: spmm_row_sharded(a, b, mesh, local="pair",
-                                          plan=plan)
+        elif args.local in ("panel", "pair"):
+            # plan=None: the auto-supertile path picks an sm that passes
+            # VMEM admission and caches the shard plan on the container
+            # (a prebuilt single-supertile plan crashes the admission
+            # check at small device counts — advisor finding r2); the
+            # warmup call absorbs the one-time plan build
+            fn = lambda: spmm_row_sharded(a, b, mesh, local=args.local)
         else:
             plan = shard_rows_tileplan(a, n)
             fn = lambda: spmm_row_sharded(a, b, mesh, local=args.local,

@@ -249,6 +249,39 @@ def test_tuned_serving_skips_verified_only_by_default():
         np.testing.assert_array_equal(served, out_safe)
 
 
+def test_ell_engine_reaches_staged_b():
+    """K8 parity (VERDICT r2 #5): the ELL engine must expose a staged-B
+    variant (reference registers spmmELLK2 at engine_ell.hpp:72-74) and
+    an engine run of it must pass the gate."""
+    eng = get_engine("ell")
+    staged = [v for v in eng.variants if v.name == "pallas_staged_b"]
+    assert staged, "ELL engine has no staged-B variant"
+    v = staged[0]
+    a = convert.to_format(CSR.random(120, 200, 0.05, seed=21), "ell")
+    b = np.random.default_rng(4).standard_normal((200, 40)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    cfg = tpuspmm.default_config()
+    assert v.admissible(a, b, cfg), "staged-B inadmissible on a tiny ELL"
+    out = np.asarray(v.fn(a, b, cfg))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_panel_family_rejects_ambiguous_split_mode():
+    """'split' means the robust 3-term tier in tile/cres but the 2-term
+    verified-only tier in the panel family — the panel entries must refuse
+    it so config.precision_mode can never leak in with a different
+    meaning (advisor finding r2)."""
+    from tpuspmm.kernels import panel_spmm, pair_spmm
+
+    a = CSR.random(64, 96, 0.2, seed=3)
+    b = np.ones((96, 32), np.float32)
+    for fn in (panel_spmm.spmm_panel, pair_spmm.spmm_pair):
+        with pytest.raises(ValueError, match="split2"):
+            fn(a, b, interpret=True, mode="split")
+        out = np.asarray(fn(a, b, interpret=True, mode="split2"))
+        assert out.shape == (64, 32)
+
+
 def test_autotune_key_carries_config_fingerprint():
     """A ranking measured under one precision_mode/geometry must not be
     served under another (advisor finding r2): both the in-memory and

@@ -135,7 +135,7 @@ def test_bf16_plan_and_precision_tiers():
     out = np.asarray(pair_spmm.spmm_pair(a, b, interpret=True))
     assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
     out_s = np.asarray(pair_spmm.spmm_pair(a, b, interpret=True,
-                                           mode="split"))
+                                           mode="split2"))
     assert allclose(out_s, ref, CFG.rel_tol, CFG.abs_tol)
 
 

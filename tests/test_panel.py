@@ -96,7 +96,7 @@ def test_split_mode_is_verified_only_tier():
     rng = np.random.default_rng(2)
     b = rng.uniform(-1, 1, (256, 32)).astype(np.float32)
     ref = oracle.spmm_oracle(a, b)
-    out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True, mode="split"))
+    out = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True, mode="split2"))
     assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
     from tpuspmm.engine.registry import get_engine
 
@@ -372,7 +372,7 @@ def test_plan_compacts_to_bf16_when_lossless():
     assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
     # split tier (2 bf16 passes of B) stays within the gate on benign data
     out_s = np.asarray(panel_spmm.spmm_panel(a, b, interpret=True,
-                                             mode="split"))
+                                             mode="split2"))
     assert allclose(out_s, ref, CFG.rel_tol, CFG.abs_tol)
     # bf16-ingested B against a bf16 plan: single-pass, exact given inputs
     import jax.numpy as jnp

@@ -131,6 +131,68 @@ def test_ring_uneven_shapes():
     assert allclose(out, ref, 1e-2, 1e-3)
 
 
+def test_ring_tile_local(problem):
+    """VERDICT r2 #4: the ring schedule's device-local compute must be
+    servable by the Pallas tile kernel (per-bucket tile plans selected by
+    dynamic ring index), not only the XLA segment-sum."""
+    a, b, ref = problem
+    mesh = make_mesh((8,), ("rows",))
+    out = np.asarray(spmm_ring(a, b, mesh, local="tile"))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_ring_tile_local_uneven_buckets():
+    """Uneven-bucket correctness (VERDICT r2 #4 done-criterion): ragged
+    M/K, a nearly-empty bucket (all nnz concentrated in low K), and a
+    ragged last row shard."""
+    rng = np.random.default_rng(13)
+    m, k = 97, 205
+    # concentrate 90% of nnz in K < 64 so buckets differ wildly in size
+    n1, n2 = 360, 40
+    rows = np.concatenate([rng.integers(0, m, n1), rng.integers(0, m, n2)])
+    cols = np.concatenate([rng.integers(0, 64, n1), rng.integers(64, k, n2)])
+    vals = rng.standard_normal(n1 + n2).astype(np.float32)
+    from tpuspmm.formats import COO
+
+    a = COO(shape=(m, k), rows=rows.astype(np.int32),
+            cols=cols.astype(np.int32), values=vals)
+    b = rng.standard_normal((k, 40)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    mesh = make_mesh((4,), ("rows",))
+    out = np.asarray(spmm_ring(a, b, mesh, local="tile"))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_ring_tile_local_cols_axis(problem):
+    a, b, ref = problem
+    mesh = make_mesh((4, 2), ("rows", "cols"))
+    out = np.asarray(spmm_ring(a, b, mesh, cols_axis="cols", local="tile"))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_kshard_tile_local(problem):
+    from tpuspmm.parallel import spmm_kshard
+
+    a, b, ref = problem
+    mesh = make_mesh((8,), ("rows",))
+    out = np.asarray(spmm_kshard(a, b, mesh, local="tile"))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_kshard_tile_local_uneven():
+    from tpuspmm.parallel import spmm_kshard
+
+    rng = np.random.default_rng(17)
+    a = CSR.random(130, 333, 0.07, seed=9)
+    b = rng.standard_normal((333, 72)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    mesh = make_mesh((4,), ("rows",))
+    out = np.asarray(spmm_kshard(a, b, mesh, local="tile"))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
 def test_2d_mesh(problem):
     a, b, ref = problem
     mesh = make_mesh((4, 2))

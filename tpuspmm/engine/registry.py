@@ -190,7 +190,7 @@ def _panel_split(a, b, config):
 
     return panel_spmm.spmm_panel(a, b, interpret=config.interpret,
                                  budget_bytes=config.vmem_budget_bytes,
-                                 mode="split",
+                                 mode="split2",
                                  panel_strips=config.panel_strips)
 
 
@@ -224,7 +224,7 @@ def _pair_split(a, b, config):
 
     return pair_spmm.spmm_pair(a, b, interpret=config.interpret,
                                budget_bytes=config.vmem_budget_bytes,
-                               mode="split")
+                               mode="split2")
 
 
 def _pair_ok(a, b, config):
@@ -236,6 +236,12 @@ def _pair_ok(a, b, config):
         a, n_pad, budget_bytes=config.vmem_budget_bytes,
         plan_bytes_cap=pair_spmm.PLAN_BYTES_CAP)
     return geom is not None
+
+
+def _compensated(a, b, config):
+    from tpuspmm.ops import exact
+
+    return exact.spmm_exact(a, b)
 
 
 def _coo_xla(a, b, config):
@@ -305,6 +311,11 @@ def build_engines() -> Dict[str, Engine]:
                               "pair kernel at the 2-term bf16 split tier (~2^-16 error) — "
                               "only served when it passes the per-matrix gate",
                               admissible=_pair_ok, verified_only=True),
+                KernelVariant(11, "xla_compensated", _compensated,
+                              "Dekker/TwoSum compensated f32 accumulation — "
+                              "deterministic gate pass for extreme-|value| "
+                              "matrices (≙ the f64 accumulator guarantee, "
+                              "main.cu:185)"),
             ],
         ),
         "coo": Engine(
@@ -323,6 +334,9 @@ def build_engines() -> Dict[str, Engine]:
                 KernelVariant(5, "pallas_pair", _pair,
                               "run-length panels, in-kernel DMA strip runs",
                               admissible=_pair_ok),
+                KernelVariant(6, "xla_compensated", _compensated,
+                              "compensated f32 accumulation (deterministic "
+                              "gate for extreme values)"),
             ],
         ),
         "bsr": Engine(
@@ -340,6 +354,9 @@ def build_engines() -> Dict[str, Engine]:
                 KernelVariant(5, "pallas_pair", _pair,
                               "run-length panels, in-kernel DMA strip runs",
                               admissible=_pair_ok),
+                KernelVariant(6, "xla_compensated", _compensated,
+                              "compensated f32 accumulation (deterministic "
+                              "gate for extreme values)"),
             ],
         ),
         "ell": Engine(
@@ -358,6 +375,15 @@ def build_engines() -> Dict[str, Engine]:
                 KernelVariant(5, "pallas_pair", _pair,
                               "run-length panels, in-kernel DMA strip runs",
                               admissible=_pair_ok),
+                KernelVariant(6, "pallas_staged_b", _staged,
+                              "whole B staged in VMEM over ELL slot chunks "
+                              "(≙ K8 staged-B, spmm_ell_k2.cu:11-54 — the "
+                              "reference registers it at engine_ell.hpp:72-74 "
+                              "though its default loop never reaches it)",
+                              admissible=_staged_ok),
+                KernelVariant(7, "xla_compensated", _compensated,
+                              "compensated f32 accumulation (deterministic "
+                              "gate for extreme values)"),
             ],
         ),
     }

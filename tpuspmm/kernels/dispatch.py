@@ -147,6 +147,16 @@ def spmm_pallas(a, b, interpret=None, config=None):
     config = config or default_config()
     budget = config.vmem_budget_bytes
     b = jnp.asarray(b)
+
+    # extreme-|value| matrices: a single f32 product's rounding can breach
+    # the abs-1e-3 gate, so every plain-f32 strategy is operand-luck there
+    # (BENCHMARKS.md medium_2880 boundary case) — the heuristic auto path
+    # must serve the deterministic compensated accumulation instead
+    from tpuspmm.ops import exact
+
+    if exact.needs_compensated(a):
+        return exact.spmm_exact(a, b)
+
     if isinstance(a, BSR) and bsr_spmm.mxu_friendly(a.block_size):
         return bsr_spmm.spmm_bsr_stream(a, b, interpret=interpret)
     if isinstance(a, BSR):
@@ -188,8 +198,18 @@ def spmm_pallas(a, b, interpret=None, config=None):
         a, n_pad, budget_bytes=budget,
         plan_bytes_cap=th["panel_max_plan_bytes"])
     if pgeom is not None:
-        return pair_spmm.spmm_pair(a, b, interpret=interpret,
-                                   budget_bytes=budget)
+        # build the plan from the geometry just resolved (mirrors the
+        # panel path): spmm_pair(a, ...) would re-resolve under the
+        # GLOBAL plan-bytes cap and could serve a geometry exceeding the
+        # per-chip policy checked above (advisor finding r2)
+        m_pad = round_up(a.shape[0], 8)
+        qplan = pair_spmm.pair_plan_from_container(
+            a, chunk_strips=pgeom.chunk_strips,
+            sm=None if pgeom.sm == m_pad else pgeom.sm, n_pad=n_pad,
+            geom=pgeom)
+        return pair_spmm.spmm_pair(qplan, b, interpret=interpret,
+                                   budget_bytes=budget,
+                                   tile_n=pgeom.tile_n)
 
     plan = tile_spmm.plan_from_container(
         a, tile_m=config.tile_m, tile_k=config.tile_k, chunk=config.chunk_nnz)

@@ -51,6 +51,7 @@ from tpuspmm.kernels.panel_spmm import (
     _container_cache,
     _dedupe_triplets,
     _order_candidates,
+    normalize_panel_mode,
     _st_strip_counts,
     finish_panel_output,
     panel_matmul,
@@ -558,7 +559,7 @@ def spmm_pair(a_or_plan, b, interpret=None,
               tile_n: int | None = None):
     """Container/plan-level entry for the run-length pair kernel.
 
-    Same precision tiers as spmm_panel ("highest" gate-exact, "split"
+    Same precision tiers as spmm_panel ("highest" gate-exact, "split2"
     verified-only); outputs larger than the VMEM budget are row
     supertiled, and widths whose slab cannot fit even one supertile are
     width-tiled (``tile_n`` pins that tile; auto otherwise).
@@ -567,6 +568,7 @@ def spmm_pair(a_or_plan, b, interpret=None,
     grid-step count dominates — the autotuner measures both and serves
     the winner.
     """
+    mode = normalize_panel_mode(mode)
     n = int(b.shape[1])
     n_pad = round_up(n, 128)
     if isinstance(a_or_plan, PairPlan):

@@ -668,6 +668,29 @@ def admit_panel(a, n_pad: int, tm: int = 8, tk: int = 128,
     return g.panel_strips, (None if g.sm == m_pad else g.sm)
 
 
+def normalize_panel_mode(mode: str) -> str:
+    """Translate the panel family's PUBLIC tier names to the internal
+    ones used by panel_matmul.
+
+    The family has two tiers: ``"highest"`` (gate-exact) and ``"split2"``
+    (2-term-class bf16 splits, ~2^-16 residual, verified-only) — the same
+    fidelity classes as the cres kernel's tiers of those names.  The
+    tile/cres/staged kernels ALSO accept ``"split"`` for their robust
+    3-term tier (~2^-26); a caller forwarding ``config.precision_mode=
+    "split"`` into the panel family would expect that robust tier but
+    silently get the weaker one, so ``"split"`` is rejected here
+    (advisor finding, round 2)."""
+    if mode == "split2":
+        return "split"  # internal name of the 2-term-class tier
+    if mode == "highest":
+        return mode
+    raise ValueError(
+        f"panel-family mode must be 'highest' or 'split2', got {mode!r}. "
+        "('split' means the robust 3-term tier in the tile/cres/staged "
+        "kernels but the 2-term verified-only tier here — pass 'split2' "
+        "if that weaker tier is what you want.)")
+
+
 def panel_matmul(a_panel, b_tile, mode: str):
     """The shared precision-tier matmul of the panel-family kernels:
     pick the cheapest MXU-pass ladder that preserves the requested
@@ -807,7 +830,7 @@ def spmm_panel(a_or_plan, b, interpret=None,
                panel_strips: int | None = None):
     """Container/plan-level entry for the pre-densified panel kernel.
 
-    ``mode``: "highest" (gate-exact — the default) or "split"
+    ``mode``: "highest" (gate-exact — the default) or "split2"
     (~2^-16 residual — verified-only tier).  When the plan stores bf16
     losslessly (plan_values_bf16_exact; ±1 incidence matrices), "highest"
     serves a 3-term bf16 split of B — the same gate-exact fidelity class
@@ -819,6 +842,7 @@ def spmm_panel(a_or_plan, b, interpret=None,
     rebuilt supertile-major); only an output narrower than one strip's
     worth of budget is refused.
     """
+    mode = normalize_panel_mode(mode)
     n = int(b.shape[1])
     n_pad = round_up(n, 128)
     if isinstance(a_or_plan, PanelPlan):
@@ -836,8 +860,12 @@ def spmm_panel(a_or_plan, b, interpret=None,
                 "spmm_tiles")
         plan = panel_plan_from_geometry(a_or_plan, geom, tm=tm, tk=tk)
     m, k = plan.shape
-    if not fits_vmem_panel(plan.sm, n_pad, plan.tm, plan.tk, budget_bytes,
-                           plan.panel_strips):
+    interp = should_interpret(interpret)
+    # interpret mode has no VMEM to respect — CPU test callers with large
+    # prebuilt single-supertile plans must not be refused (parity with
+    # spmm_pair's guard; advisor finding r2)
+    if not interp and not fits_vmem_panel(plan.sm, n_pad, plan.tm, plan.tk,
+                                          budget_bytes, plan.panel_strips):
         raise ValueError(
             f"output slab ({plan.sm}x{n_pad}) exceeds the VMEM residency "
             "budget; rebuild the plan with a smaller sm or use spmm_tiles")
@@ -848,7 +876,7 @@ def spmm_panel(a_or_plan, b, interpret=None,
     out = _panel_spmm(
         kt, st, offs, a_dense, b_padded,
         tm=plan.tm, tk=plan.tk, panel_strips=plan.panel_strips,
-        sm=plan.sm, n_st=n_st, interpret=should_interpret(interpret),
+        sm=plan.sm, n_st=n_st, interpret=interp,
         mode=mode)
     return finish_panel_output(out, plan, n_st, n_pad, m, n)
 

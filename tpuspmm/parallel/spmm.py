@@ -41,10 +41,12 @@ from tpuspmm.parallel.shard import (
     RowShardedPanelPlan,
     RowShardedPairPlan,
     KBucketedTriplets,
+    KBucketedTilePlans,
     shard_rows_tileplan,
     shard_rows_panelplan,
     shard_rows_pairplan,
     bucket_triplets,
+    bucket_tileplans,
     pad_dense_rows,
 )
 
@@ -380,8 +382,28 @@ def _spmm_2d_callable(mesh, m_local, **static):
 # K-sharded: A column-partitioned, partial outputs reduce-scattered
 # ---------------------------------------------------------------------------
 
+def _cached_bucket_tileplans(a, n_row, n_k, m_align=1) -> KBucketedTilePlans:
+    key = ("bucket_tileplans", n_row, n_k, m_align)
+    cache = getattr(a, "_plan_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(a, "_plan_cache", cache)
+        except Exception:
+            cache = None
+    if cache is not None and key in cache:
+        return cache[key]
+    plans = bucket_tileplans(a, n_row, n_k, m_align=m_align)
+    if cache is not None:
+        cache[key] = plans
+    return plans
+
+
 def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
-                buckets: Optional[KBucketedTriplets] = None):
+                buckets: Optional[KBucketedTriplets] = None,
+                local: str = "xla",
+                plans: Optional[KBucketedTilePlans] = None,
+                interpret=None):
     """C = A @ B with the *contraction* dimension sharded.
 
     Each chip owns a column slab of A (as triplets) and the matching K-rows
@@ -390,9 +412,16 @@ def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
     reduce-scatter decomposition, complementary to the ring schedule (which
     keeps A row-sharded and moves B instead).  Communication: one
     reduce-scatter of C per call, riding ICI.
+
+    ``local``: "xla" = gather + segment-sum, "tile" = the Pallas
+    tile-sparse MXU kernel per chip (VERDICT r2 #4).
     """
     n_dev = mesh.shape[axis]
     n_orig = int(np.shape(b)[1])
+    if local == "tile":
+        return _spmm_kshard_tile(a, b, mesh, axis, plans, interpret)
+    if local != "xla":
+        raise ValueError(f"spmm_kshard local must be 'xla' or 'tile', got {local!r}")
     if buckets is None:
         # single row shard, K bucketed: buckets.rows is (1, S, E)
         buckets = bucket_triplets(a, 1, n_dev, m_align=8 * n_dev)
@@ -438,13 +467,74 @@ def _kshard_callable(mesh, axis, m_pad):
     ))
 
 
+def _spmm_kshard_tile(a, b, mesh: Mesh, axis: str,
+                      plans: Optional[KBucketedTilePlans], interpret):
+    """Reduce-scatter schedule with the Pallas tile kernel as the local
+    compute: each chip lowers its K-slab of A through the one-hot MXU
+    densify path instead of the XLA segment-sum (VERDICT r2 #4 — the
+    segment-sum local was the slowest strategy in the library)."""
+    n_dev = mesh.shape[axis]
+    interp = should_interpret(interpret)
+    n_orig = int(np.shape(b)[1])
+    if plans is None:
+        plans = _cached_bucket_tileplans(a, 1, n_dev, m_align=n_dev)
+    if plans.n_row_shards != 1:
+        raise ValueError("spmm_kshard needs n_row_shards == 1 tile plans")
+    if plans.m_local % n_dev != 0:
+        raise ValueError(
+            f"m_local={plans.m_local} not divisible by {n_dev}; rebuild "
+            f"with bucket_tileplans(a, 1, n_dev, m_align=n_dev)")
+    m, k = plans.shape
+    b = np.asarray(b, dtype=np.float32)
+    n_pad = round_up(n_orig, 128)
+    tile_n = _divisor_tile_n(n_pad)
+    b_padded = np.pad(b, ((0, plans.k_local * n_dev - k), (0, n_pad - n_orig)))
+
+    shard = functools.partial(_put, mesh)
+    args = (
+        shard(plans.rt[0], P(axis)), shard(plans.kt[0], P(axis)),
+        shard(plans.first[0], P(axis)),
+        shard(plans.rows[0], P(axis)), shard(plans.cols[0], P(axis)),
+        shard(plans.vals[0], P(axis)),
+        shard(b_padded, P(axis)),
+    )
+    fn = _kshard_tile_callable(
+        mesh, axis, plans.m_local,
+        tm=plans.tile_m, tk=plans.tile_k, chunk=plans.chunk,
+        num_row_tiles=plans.num_row_tiles, num_k_tiles=plans.num_k_tiles,
+        tile_n=tile_n, interpret=interp)
+    out = fn(*args)
+    return out[:m, :n_orig]
+
+
+@functools.lru_cache(maxsize=64)
+def _kshard_tile_callable(mesh, axis, m_local, **static):
+    def local_fn(rt, kt, first, rows, cols, vals, b_panel):
+        from tpuspmm.kernels.tile_spmm import _tile_spmm
+
+        partial = _tile_spmm(rt[0], kt[0], first[0],
+                             rows[0], cols[0], vals[0], b_panel, **static)
+        return jax.lax.psum_scatter(partial[:m_local], axis,
+                                    scatter_dimension=0, tiled=True)
+
+    return jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis)),
+        out_specs=P(axis), check_vma=False,
+    ))
+
+
 # ---------------------------------------------------------------------------
 # ring: B K-sharded, panels ppermuted around the mesh axis
 # ---------------------------------------------------------------------------
 
 def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
               cols_axis: Optional[str] = None,
-              buckets: Optional[KBucketedTriplets] = None):
+              buckets: Optional[KBucketedTriplets] = None,
+              local: str = "xla",
+              plans: Optional[KBucketedTilePlans] = None,
+              interpret=None):
     """C = A @ B with B sharded along K; panels ride the ICI ring.
 
     Device d starts with panel d.  At ring step i it holds panel
@@ -452,9 +542,19 @@ def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
     against it while ``ppermute`` forwards the panel to ``d + 1``.  After n
     steps every bucket has met its panel; the accumulator is the local C
     slab.  Communication volume per chip: (n-1)/n of B, pipelined.
+
+    ``local``: "xla" = gather + segment-sum per bucket, "tile" = the
+    Pallas tile-sparse MXU kernel per bucket (VERDICT r2 #4 / the
+    BASELINE north-star "B panels overlapped with local tile compute") —
+    each ring step dynamically selects its bucket's tile plan and the
+    ppermute still overlaps the Pallas call.
     """
     n_dev = mesh.shape[axis]
     n_orig = int(np.shape(b)[1])
+    if local == "tile":
+        return _spmm_ring_tile(a, b, mesh, axis, cols_axis, plans, interpret)
+    if local != "xla":
+        raise ValueError(f"spmm_ring local must be 'xla' or 'tile', got {local!r}")
     if buckets is None:
         buckets = bucket_triplets(a, n_dev, n_dev)
     m, k = buckets.shape
@@ -516,4 +616,88 @@ def _ring_callable(mesh, axis, cols_axis, n_dev, m_local):
         local_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), b_spec),
         out_specs=b_spec if cols_axis is not None else P(axis),
+    ))
+
+
+def _spmm_ring_tile(a, b, mesh: Mesh, axis: str, cols_axis: Optional[str],
+                    plans: Optional[KBucketedTilePlans], interpret):
+    """Ring schedule serving the Pallas tile kernel per (shard, bucket):
+    every ring step ``jnp.take``s its bucket's stacked tile plan and runs
+    the one-hot MXU densify kernel against the B panel it currently
+    holds, while ppermute forwards the panel — compute/communication
+    overlap with the fast local kernel (VERDICT r2 #4)."""
+    n_dev = mesh.shape[axis]
+    interp = should_interpret(interpret)
+    n_orig = int(np.shape(b)[1])
+    if plans is None:
+        plans = _cached_bucket_tileplans(a, n_dev, n_dev)
+    m, k = plans.shape
+    b = np.asarray(b, dtype=np.float32)
+    k_pad = plans.k_local * n_dev
+    if cols_axis is not None:
+        n_cols = mesh.shape[cols_axis]
+        n_local = round_up(-(-n_orig // n_cols), 128)
+        n_pad = n_local * n_cols
+        b_spec = P(axis, cols_axis)
+    else:
+        n_local = n_pad = round_up(n_orig, 128)
+        b_spec = P(axis)
+    tile_n = _divisor_tile_n(n_local)
+    b_padded = np.pad(b, ((0, k_pad - k), (0, n_pad - n_orig)))
+
+    shard = functools.partial(_put, mesh)
+    args = (
+        shard(plans.rt, P(axis)), shard(plans.kt, P(axis)),
+        shard(plans.first, P(axis)),
+        shard(plans.rows, P(axis)), shard(plans.cols, P(axis)),
+        shard(plans.vals, P(axis)),
+        shard(b_padded, b_spec),
+    )
+    fn = _ring_tile_callable(
+        mesh, axis, cols_axis, n_dev, plans.m_local,
+        tm=plans.tile_m, tk=plans.tile_k, chunk=plans.chunk,
+        num_row_tiles=plans.num_row_tiles, num_k_tiles=plans.num_k_tiles,
+        tile_n=tile_n, interpret=interp)
+    out = fn(*args)
+    return out[:m, :n_orig]
+
+
+@functools.lru_cache(maxsize=64)
+def _ring_tile_callable(mesh, axis, cols_axis, n_dev, m_local, **static):
+    perm = tuple((j, (j + 1) % n_dev) for j in range(n_dev))
+    vary_axes = (axis,) if cols_axis is None else (axis, cols_axis)
+    b_spec = P(axis) if cols_axis is None else P(axis, cols_axis)
+
+    def local_fn(rt, kt, first, rows, cols, vals, b_panel):
+        from tpuspmm.kernels.tile_spmm import _tile_spmm
+
+        # local leading dims: (1, S, C[, E]) — drop the shard dim
+        rt, kt, first = rt[0], kt[0], first[0]
+        rows, cols, vals = rows[0], cols[0], vals[0]
+        idx = jax.lax.axis_index(axis)
+        acc0 = jax.lax.pcast(
+            jnp.zeros((m_local, b_panel.shape[1]), jnp.float32),
+            vary_axes, to="varying")
+
+        def body(i, carry):
+            b_cur, acc = carry
+            src = (idx - i) % n_dev
+            take = lambda x: jnp.take(x, src, axis=0)
+            # the send depends only on b_cur — XLA overlaps it with the
+            # Pallas call below
+            b_nxt = jax.lax.ppermute(b_cur, axis, list(perm))
+            out = _tile_spmm(take(rt), take(kt), take(first),
+                             take(rows), take(cols), take(vals),
+                             b_cur, **static)
+            return (b_nxt, acc + out[:m_local])
+
+        _, acc = jax.lax.fori_loop(0, n_dev, body, (b_panel, acc0))
+        return acc
+
+    return jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  b_spec),
+        out_specs=b_spec if cols_axis is not None else P(axis),
+        check_vma=False,
     ))
