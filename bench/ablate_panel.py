@@ -31,6 +31,10 @@ def main(argv=None) -> int:
     p.add_argument("--repeats", type=int, default=16)
     p.add_argument("--strips", default="16,32,64",
                    help="pinned P values to ablate against auto")
+    p.add_argument("--tm", default="",
+                   help="comma list of strip heights to ablate (e.g. "
+                        "8,16,32); empty = the geometry search's pick "
+                        "only.  Use to fit panel_strip_us on-chip.")
     p.add_argument("--budget-bytes", type=int, default=8 * 1024 * 1024)
     args = p.parse_args(argv)
 
@@ -63,14 +67,17 @@ def main(argv=None) -> int:
         except Exception:
             t_vendor = float("nan")
 
-        geoms = [("auto", None)]
-        geoms += [(f"P{s}", int(s)) for s in args.strips.split(",") if s]
-        for label, strips in geoms:
+        geoms = [("auto", None, None)]
+        geoms += [(f"P{s}", int(s), None)
+                  for s in args.strips.split(",") if s]
+        geoms += [(f"tm{t}", None, int(t))
+                  for t in args.tm.split(",") if t]
+        for label, strips, tm_pin in geoms:
             try:
                 geom = panel_spmm.resolve_panel_geometry(
                     a, budget_bytes=args.budget_bytes,
                     plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP,
-                    panel_strips=strips)
+                    panel_strips=strips, tm=tm_pin)
                 if geom is None:
                     print(json.dumps({"matrix": name, "geom": label,
                                       "error": "inadmissible"}))
@@ -85,7 +92,8 @@ def main(argv=None) -> int:
                                                iters=args.repeats)
                     print(json.dumps({
                         "matrix": name, "geom": label, "mode": mode,
-                        "P": geom.panel_strips, "sm": geom.sm,
+                        "P": geom.panel_strips, "tm": geom.tm,
+                        "sm": geom.sm,
                         "perm": geom.row_perm is not None,
                         "plan_mb": round(plan.plan_bytes / 1e6, 2),
                         "dtype": str(plan.a_dense.dtype),

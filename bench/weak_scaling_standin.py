@@ -1,0 +1,124 @@
+"""Single-chip weak-scaling stand-in (VERDICT r2 #8).
+
+Real multi-chip hardware is not reachable from this machine (one v5e via
+the axon tunnel), so true weak-scaling efficiency (BASELINE.json: >=75%
+on 2 hosts) cannot be measured yet.  This harness produces the honest
+single-chip LOWER-BOUND artifact instead: partition A row-wise into
+1..N shards exactly as the row-sharded panel schedule would
+(tpuspmm/parallel/shard.py), run each shard's LOCAL panel kernel on the
+one real chip SEQUENTIALLY with chained device timing, and report
+per-shard nnz/s and the critical-path time (max shard time — what an
+ideal collective-free mesh would wait for).
+
+What this does and does not show:
+- DOES: that per-shard device time shrinks ~linearly with the shard
+  count, i.e. the local kernel keeps its efficiency at per-shard problem
+  sizes (no VMEM cliff, no small-shard collapse) — a necessary
+  condition for weak scaling.
+- DOES NOT: include ICI collectives, cross-chip skew, or host overlap.
+  Efficiency numbers here are an upper bound on what hardware would
+  show for the collective-free row-sharded schedule, and say nothing
+  about the ring/reduce-scatter schedules.
+
+Prints one JSON line with the per-count records.  The REAL harness
+(bench/weak_scaling.py) stays unchanged for when multi-chip exists.
+
+Usage::
+
+    python -m bench.weak_scaling_standin [--case large_25605]
+        [--width 256] [--counts 1,2,4,8] [--repeats 16] [--local panel]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--case", default="large_25605")
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--counts", default="1,2,4,8")
+    p.add_argument("--repeats", type=int, default=16)
+    p.add_argument("--local", default="panel", choices=["panel", "pair"])
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuspmm.data import data_dir
+    from tpuspmm.formats import CSR, convert
+    from tpuspmm.kernels import panel_spmm, pair_spmm
+    from tpuspmm.ops import oracle
+    from tpuspmm.utils import timing
+    from tpuspmm.utils.compare import allclose
+
+    d = data_dir(args.case)
+    if d is None:
+        print(json.dumps({"error": f"no data dir for {args.case}"}))
+        return 1
+    a = convert.load_sparse(d, "csr")
+    a = a if a.format_name == "csr" else a.to_csr()
+    rng = np.random.default_rng(11)
+    b = rng.uniform(-1, 1, (a.shape[1], args.width)).astype(np.float32)
+    b_dev = jnp.asarray(b)
+    ref = oracle.spmm_scipy_oracle(a, b)
+    counts = [int(c) for c in args.counts.split(",") if c]
+    spmm_local = (panel_spmm.spmm_panel if args.local == "panel"
+                  else pair_spmm.spmm_pair)
+
+    indptr = np.asarray(a.indptr)
+    results = []
+    t1 = None
+    for n in counts:
+        m = a.shape[0]
+        m_local = -(-m // n)
+        shard_ms = []
+        correct = True
+        for s in range(n):
+            lo, hi = s * m_local, min((s + 1) * m_local, m)
+            if lo >= hi:
+                shard_ms.append(0.0)
+                continue
+            sub = CSR(indptr=(indptr[lo:hi + 1] - indptr[lo]).astype(np.int32),
+                      indices=np.asarray(a.indices[indptr[lo]:indptr[hi]]),
+                      values=np.asarray(a.values[indptr[lo]:indptr[hi]]),
+                      shape=(hi - lo, a.shape[1]))
+            fn = lambda bb, sub=sub: spmm_local(sub, bb)
+            out = np.asarray(fn(b_dev))
+            correct &= bool(allclose(out, ref[lo:hi], 1e-2, 1e-3))
+            shard_ms.append(timing.device_time_ms(fn, b_dev,
+                                                  iters=args.repeats))
+        total = float(sum(shard_ms))
+        crit = float(max(shard_ms))
+        if t1 is None:
+            t1 = total
+        # critical-path efficiency: ideal mesh finishes in max(shard);
+        # weak-scaling analogue of t(1) / (n * t_crit(n))
+        eff = t1 / (n * crit) if crit > 0 else 0.0
+        rec = {"shards": n, "total_ms": round(total, 4),
+               "critical_ms": round(crit, 4),
+               "per_shard_nnz_per_s": round(a.nnz / n / (crit / 1e3), 1)
+               if crit > 0 else None,
+               "lower_bound_efficiency": round(eff, 4),
+               "correct": correct}
+        results.append(rec)
+        print(f"# n={n}: total {total:.3f} ms, crit {crit:.3f} ms, "
+              f"eff_lb={eff * 100:.1f}%", file=sys.stderr)
+
+    print(json.dumps({
+        "harness": "single_chip_standin",
+        "caveat": ("sequentialized shards on ONE chip; excludes ICI "
+                   "collectives and skew — an upper bound on real "
+                   "weak-scaling efficiency, see module docstring"),
+        "case": args.case, "width": args.width, "local": args.local,
+        "backend": jax.default_backend(), "scaling": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,6 +43,53 @@ def test_panel_matches_oracle(shape, density):
     assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
 
 
+@pytest.mark.parametrize("tm", [16, 32])
+def test_panel_wide_strips_match_oracle(tm):
+    """VERDICT r2 #3: larger strip heights (tm > 8) cut the per-panel
+    slice-RMW chain; the kernel must stay exact for them, including the
+    ragged-edge trash strip and supertiling."""
+    a, _ = _rand_coo(257, 515, 0.03, seed=tm)
+    rng = np.random.default_rng(2)
+    b = rng.uniform(-1, 1, (515, 70)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    plan = panel_spmm.panel_plan_from_container(a, tm=tm)
+    assert plan.tm == tm
+    out = np.asarray(panel_spmm.spmm_panel(plan, b, interpret=True))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+
+
+@pytest.mark.parametrize("tm", [16, 32])
+def test_panel_wide_strips_supertiled(tm):
+    a, _ = _rand_coo(300, 420, 0.05, seed=3 + tm)
+    rng = np.random.default_rng(5)
+    b = rng.uniform(-1, 1, (420, 40)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    plan = panel_spmm.panel_plan_from_container(a, tm=tm, sm=2 * tm)
+    assert plan.n_supertiles > 1
+    out = np.asarray(panel_spmm.spmm_panel(plan, b, interpret=True))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol)
+
+
+def test_geometry_search_considers_tm():
+    """The joint (tm, P) search must pick a taller strip when the
+    per-strip chain cost dominates and the rows cluster so the taller
+    strip adds no plan bytes (contiguous dense rows are the extreme)."""
+    m, k = 512, 256
+    rows = np.repeat(np.arange(m, dtype=np.int64), 4)
+    cols = np.tile(np.array([0, 64, 128, 200], np.int64), m)
+    g = panel_spmm._geometry_search(
+        rows, cols, m, k, (8, 16, 32), 128, (8, 16, 32, 64),
+        strip_us=0.05, step_us=0.17, reorder=False)
+    assert g is not None
+    P, perm, sm, plan_bytes, tm = g
+    assert tm > 8, (tm, P, plan_bytes)
+    # and with the chain uncharged, tm=8 (the base) must still win ties
+    g0 = panel_spmm._geometry_search(
+        rows, cols, m, k, (8, 16, 32), 128, (8, 16, 32, 64),
+        strip_us=0.0, step_us=0.17, reorder=False)
+    assert g0[4] == 8
+
+
 def test_duplicate_coordinates_accumulate():
     # COO semantics: duplicates sum (reference/src/spmm/coo/spmm_coo_k1.cu:24)
     rows = np.array([0, 0, 3, 3, 3], np.int32)

@@ -47,11 +47,19 @@ _CHIP_THRESHOLDS = {
     # m=20000 row-gather measurement (0.107 ms ⇒ ~383 GB/s; 300 kept as
     # margin).  v5p/v4 bandwidths scaled by nominal HBM ratio; step
     # overhead kept (fixed per-step cost, not bandwidth-bound).
+    # panel_strip_us charges the per-panel serial chain of P dynamic-slice
+    # output RMWs (one per strip) that the round-2 decomposition named as
+    # the 2x-to-floor bottleneck; 0.01 µs/strip is EXTRAPOLATED from that
+    # decomposition (156 µs serve - 85 µs traffic floor - 34 µs step cost
+    # over 8880 strips ≈ 0.004-0.01), NOT yet fitted on-chip — refit with
+    # bench/ablate_panel.py --tm when the chip is reachable.  v5p/v4
+    # rows copy the v5e estimate (same caveat).
     "v5e": {"densify_max_bytes": 128 * 1024 * 1024,
             "densify_min_density": 0.004,
             "tile_min_nnz_per_chunk": 40.0,
             "panel_max_plan_bytes": 128 * 1024 * 1024,
             "panel_step_us": 0.17,
+            "panel_strip_us": 0.01,
             "panel_hbm_gbps": 250.0,
             "panel_gather_gbps": 300.0},
     "v5p": {"densify_max_bytes": 256 * 1024 * 1024,
@@ -59,6 +67,7 @@ _CHIP_THRESHOLDS = {
             "tile_min_nnz_per_chunk": 32.0,
             "panel_max_plan_bytes": 256 * 1024 * 1024,
             "panel_step_us": 0.17,
+            "panel_strip_us": 0.01,
             "panel_hbm_gbps": 750.0,
             "panel_gather_gbps": 900.0},
     "v4": {"densify_max_bytes": 128 * 1024 * 1024,
@@ -66,6 +75,7 @@ _CHIP_THRESHOLDS = {
            "tile_min_nnz_per_chunk": 36.0,
            "panel_max_plan_bytes": 128 * 1024 * 1024,
            "panel_step_us": 0.17,
+           "panel_strip_us": 0.01,
            "panel_hbm_gbps": 375.0,
            "panel_gather_gbps": 450.0},
     "cpu": {"densify_max_bytes": 128 * 1024 * 1024,
@@ -73,6 +83,7 @@ _CHIP_THRESHOLDS = {
             "tile_min_nnz_per_chunk": 40.0,
             "panel_max_plan_bytes": 128 * 1024 * 1024,
             "panel_step_us": 0.17,
+            "panel_strip_us": 0.01,
             "panel_hbm_gbps": 250.0,
             "panel_gather_gbps": 300.0},
 }

@@ -186,9 +186,17 @@ def _order_candidates(rows, cols, m: int, ktile, sig_depth: int = 4):
 # P candidates for the auto geometry chooser; the kernel unrolls a
 # P-iteration strip-scatter loop, so the list is kept short
 STRIP_CANDIDATES = (8, 16, 32, 64)
+# strip-height candidates for the joint (tm, P) search: the kernel's
+# per-panel accumulate is a serial chain of P dynamic-slice RMWs of
+# (tm, n_pad) each — larger tm cuts the chain length (the round-2
+# headline's named 2x-to-floor bottleneck) at the cost of more padding
+# inside each strip.  On incidence-structured matrices the permuted rows
+# cluster so well that tm=32 adds ZERO plan bytes while running 4x fewer
+# slice ops (large_25605: 12864 -> 3216 strips at identical 26.3 MB).
+TM_CANDIDATES = (8, 16, 32)
 
 
-def _geometry_search(rows, cols, m: int, k: int, tm: int, tk: int,
+def _geometry_search(rows, cols, m: int, k: int, tm, tk: int,
                      candidates, *,
                      n_pad: int = 256,
                      budget_bytes: int | None = None,
@@ -200,75 +208,82 @@ def _geometry_search(rows, cols, m: int, k: int, tm: int, tk: int,
                      reorder: bool = True,
                      prefer: int = 16,
                      val_bytes: int = 4):
-    """Joint (P, row order, supertile rows) search minimising the
+    """Joint (tm, P, row order, supertile rows) search minimising the
     modelled serve time
 
         n_strips·(strip_bytes/HBM_BW + strip_cost) + n_panels·step_cost
         [+ perm_cost if row-reordered]
 
-    — the two sides of the panel tradeoff: larger P cuts grid steps
+    — the sides of the panel tradeoff: larger P cuts grid steps
     (wins for scattered matrices like large_21074, whose serve time is
     ~grid-step bound) but pads more strips per (supertile, k-tile) pair
-    (loses for plan-bandwidth-bound matrices like large_25605).  Plan
-    bytes are EXACT, not modelled: the strip histogram is computed per
-    candidate supertiling with the same (supertile, k-tile) grouping and
-    empty-supertile panels build_panel_plan produces, so a
-    ``plan_bytes_cap`` (HBM-affordability admission) filters candidates
-    truthfully and a VMEM ``budget_bytes`` (None = single supertile)
-    charges the extra padding that supertiling causes.  A ≥3% modelled
-    win is required to deviate from the natural order at ``prefer``
+    (loses for plan-bandwidth-bound matrices like large_25605); larger
+    tm cuts the per-panel slice-RMW chain (strip_cost) but pads more
+    rows into each strip.  Plan bytes are EXACT, not modelled: the strip
+    histogram is computed per candidate (tm, supertiling) with the same
+    (supertile, k-tile) grouping and empty-supertile panels
+    build_panel_plan produces, so a ``plan_bytes_cap``
+    (HBM-affordability admission) filters candidates truthfully and a
+    VMEM ``budget_bytes`` (None = single supertile) charges the extra
+    padding that supertiling causes.  A ≥3% modelled win is required to
+    deviate from the natural order at (tm=first candidate, P=prefer)
     (falling back to the smallest admissible P when ``prefer`` is not
-    admissible).  Returns (P, row_perm, sm, plan_bytes) or None when no
-    candidate passes admission."""
+    admissible).  ``tm`` may be an int (pinned) or a tuple of
+    candidates.  Returns (P, row_perm, sm, plan_bytes, tm) or None when
+    no candidate passes admission."""
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
-    m_pad = round_up(max(m, tm), tm)
+    tms = (tm,) if isinstance(tm, int) else tuple(tm)
     nkt = max(1, -(-k // tk))
     ktile = cols // tk
-    # val_bytes=2 when the deduped values round-trip bf16 (the plan will
-    # be stored compacted — see plan_values_bf16_exact) so admission and
-    # the bandwidth term price the actual stream
-    strip_bytes = tm * tk * val_bytes
     bw = hbm_gbps * 1e3          # bytes per µs
 
     orders = [(None, rows)]
-    if reorder and len(rows) and m > tm:
+    if reorder and len(rows) and m > tms[0]:
         for perm in _order_candidates(rows, cols, m, ktile):
             inv = np.empty(m, np.int64)
             inv[perm] = np.arange(m)
             orders.append((perm, inv[rows]))
 
-    entries = []  # (cost, P, perm, sm, plan_bytes); naturals first per P
-    for P in candidates:
-        if budget_bytes is None:
-            sm = m_pad
-        else:
-            sm = pick_supertile_rows(m_pad, n_pad, tm, tk, budget_bytes,
-                                     panel_strips=P)
-            if sm is None:
-                continue
-        st_div = max(1, sm // tm)
-        n_st = max(1, -(-m_pad // sm))
-        for perm, prows in orders:
-            cnt, occ_st = _st_strip_counts(prows, ktile, nkt, tm, st_div)
-            s = _padded_strips(cnt, P) + (n_st - occ_st) * P
-            plan_bytes = s * strip_bytes
-            if plan_bytes_cap is not None and plan_bytes > plan_bytes_cap:
-                continue
-            cost = (s * (strip_bytes / bw + strip_us)
-                    + (s // P) * step_us
-                    + (perm_us if perm is not None else 0.0))
-            entries.append((cost, P, perm, sm, plan_bytes))
+    # (cost, P, perm, sm, plan_bytes, tm); naturals first per (tm, P)
+    entries = []
+    for tm_c in tms:
+        m_pad = round_up(max(m, tm_c), tm_c)
+        # val_bytes=2 when the deduped values round-trip bf16 (the plan
+        # will be stored compacted — see plan_values_bf16_exact) so
+        # admission and the bandwidth term price the actual stream
+        strip_bytes = tm_c * tk * val_bytes
+        for P in candidates:
+            if budget_bytes is None:
+                sm = m_pad
+            else:
+                sm = pick_supertile_rows(m_pad, n_pad, tm_c, tk,
+                                         budget_bytes, panel_strips=P)
+                if sm is None:
+                    continue
+            st_div = max(1, sm // tm_c)
+            n_st = max(1, -(-m_pad // sm))
+            for perm, prows in orders:
+                cnt, occ_st = _st_strip_counts(prows, ktile, nkt, tm_c,
+                                               st_div)
+                s = _padded_strips(cnt, P) + (n_st - occ_st) * P
+                plan_bytes = s * strip_bytes
+                if plan_bytes_cap is not None and plan_bytes > plan_bytes_cap:
+                    continue
+                cost = (s * (strip_bytes / bw + strip_us)
+                        + (s // P) * step_us
+                        + (perm_us if perm is not None else 0.0))
+                entries.append((cost, P, perm, sm, plan_bytes, tm_c))
     if not entries:
         return None
-    naturals = [e for e in entries if e[2] is None]
+    naturals = [e for e in entries if e[2] is None and e[5] == tms[0]]
     base = next((e for e in naturals if e[1] == prefer), None)
     if base is None and naturals:
         base = naturals[0]  # smallest admissible P, natural order
     best = min(entries, key=lambda e: e[0])
     if base is not None and best[0] >= base[0] * 0.97:
         best = base
-    return best[1], best[2], best[3], best[4]
+    return best[1], best[2], best[3], best[4], best[5]
 
 
 def choose_row_order(rows, cols, m: int, k: int, tm: int = 8,
@@ -486,22 +501,27 @@ def _container_cache(a):
 
 
 PanelGeometry = collections.namedtuple(
-    "PanelGeometry", "panel_strips row_perm sm plan_bytes")
+    "PanelGeometry", "panel_strips row_perm sm plan_bytes tm",
+    defaults=(8,))
 
 
-def resolve_panel_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
+def resolve_panel_geometry(a, n_pad: int = 256, tm: int | None = None,
+                           tk: int = 128,
                            panel_strips: int | None = None,
                            reorder_rows: bool = True,
                            budget_bytes: int | None = None,
                            plan_bytes_cap: int | None = None):
     """Resolve the full panel geometry for a container: a PanelGeometry
-    (P, row_perm, sm, exact plan_bytes), or None when no candidate fits
-    the VMEM ``budget_bytes`` / ``plan_bytes_cap`` admission.
+    (P, row_perm, sm, exact plan_bytes, tm), or None when no candidate
+    fits the VMEM ``budget_bytes`` / ``plan_bytes_cap`` admission.
 
     ``panel_strips=None`` (the default/auto mode) searches P candidates ×
     row orderings with the detected chip's constants; an explicit P pins
     the strip count (degrading to smaller candidates only when P itself
-    is inadmissible).  ``budget_bytes=None`` means a single supertile
+    is inadmissible).  ``tm=None`` (default) jointly searches the strip
+    heights in TM_CANDIDATES — larger strips run fewer per-panel
+    slice-RMW chain ops at the cost of in-strip padding; an int pins it.
+    ``budget_bytes=None`` means a single supertile
     (no VMEM constraint).  The result is cached on the container — the
     search is a one-time plan cost.  Host-only: never initializes the
     JAX backend (thresholds() falls back to defaults pre-init)."""
@@ -512,7 +532,8 @@ def resolve_panel_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
     # the chip is part of the key: a geometry resolved pre-backend-init
     # (detect_chip falls back to "cpu") must not pin "cpu"-row constants
     # for the container's lifetime once the real chip is known
-    key = ("panel_geom", detect_chip(initialize=False), tm, tk,
+    tm_arg = TM_CANDIDATES if tm is None else tm
+    key = ("panel_geom", detect_chip(initialize=False), tm_arg, tk,
            panel_strips, reorder_rows, n_pad, budget_bytes, plan_bytes_cap)
     cache = _container_cache(a)
     if cache is not None and key in cache:
@@ -539,16 +560,16 @@ def resolve_panel_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
         val_bytes=2 if plan_values_bf16_exact(rows, cols, coo.values, k)
         else 4)
     if panel_strips is not None:
-        g = _geometry_search(rows, cols, m, k, tm, tk, (panel_strips,),
+        g = _geometry_search(rows, cols, m, k, tm_arg, tk, (panel_strips,),
                              prefer=panel_strips, **kwargs)
         if g is None:  # pinned P inadmissible — degrade, don't refuse
             smaller = tuple(c for c in STRIP_CANDIDATES
                             if c < panel_strips)
             if smaller:
-                g = _geometry_search(rows, cols, m, k, tm, tk, smaller,
+                g = _geometry_search(rows, cols, m, k, tm_arg, tk, smaller,
                                      prefer=smaller[0], **kwargs)
     else:
-        g = _geometry_search(rows, cols, m, k, tm, tk, STRIP_CANDIDATES,
+        g = _geometry_search(rows, cols, m, k, tm_arg, tk, STRIP_CANDIDATES,
                              prefer=16, **kwargs)
     geom = None if g is None else PanelGeometry(*g)
     if cache is not None:
@@ -566,13 +587,15 @@ def resolve_panel_strips(a, tm: int = 8, tk: int = 128,
     return g.panel_strips, g.row_perm
 
 
-def panel_plan_from_geometry(a, geom: PanelGeometry, tm: int = 8,
+def panel_plan_from_geometry(a, geom: PanelGeometry, tm: int | None = None,
                              tk: int = 128) -> PanelPlan:
     """Build (or fetch the cached) PanelPlan for a resolved geometry —
     serving steady state pays the densification and H2D transfer once.
-    The cache key is the geometry CONTENT (P, sm, permutation bytes), so
-    two resolution paths that land on the same geometry share one plan
-    and two that differ never collide."""
+    The cache key is the geometry CONTENT (tm, P, sm, permutation
+    bytes), so two resolution paths that land on the same geometry share
+    one plan and two that differ never collide.  ``tm=None`` (default)
+    takes the strip height the geometry search picked."""
+    tm = geom.tm if tm is None else tm
     perm = geom.row_perm
     m_pad = round_up(int(a.shape[0]), tm)
     sm = geom.sm if geom.sm != m_pad else None
@@ -594,23 +617,30 @@ def panel_plan_from_geometry(a, geom: PanelGeometry, tm: int = 8,
     return plan
 
 
-def panel_plan_from_container(a, tm: int = 8, tk: int = 128,
+def panel_plan_from_container(a, tm: int | None = None, tk: int = 128,
                               panel_strips: int | None = None,
                               sm: int | None = None,
                               reorder_rows: bool = True,
                               n_pad: int = 256) -> PanelPlan:
     """Resolve geometry and build (or fetch) the PanelPlan in one step.
-    ``panel_strips=None`` auto-picks P per matrix (cost model); with
-    ``reorder_rows`` (default), candidate row orderings are evaluated and
-    the winner is baked in (deterministic; the kernel output is
-    un-permuted on return).  An explicit ``sm`` overrides the resolved
-    supertiling (callers that already ran VMEM admission)."""
+    ``panel_strips=None`` auto-picks P per matrix (cost model);
+    ``tm=None`` auto-picks the strip height; with ``reorder_rows``
+    (default), candidate row orderings are evaluated and the winner is
+    baked in (deterministic; the kernel output is un-permuted on
+    return).  An explicit ``sm`` overrides the resolved supertiling
+    (callers that already ran VMEM admission)."""
     geom = resolve_panel_geometry(a, n_pad=n_pad, tm=tm, tk=tk,
                                   panel_strips=panel_strips,
                                   reorder_rows=reorder_rows)
     if sm is not None:
+        if sm % geom.tm:
+            # caller pinned a supertile the searched strip height cannot
+            # divide — re-resolve at the universally-compatible tm=8
+            geom = resolve_panel_geometry(a, n_pad=n_pad, tm=8, tk=tk,
+                                          panel_strips=panel_strips,
+                                          reorder_rows=reorder_rows)
         geom = geom._replace(sm=sm)
-    return panel_plan_from_geometry(a, geom, tm=tm, tk=tk)
+    return panel_plan_from_geometry(a, geom, tk=tk)
 
 
 def fits_vmem_panel(m_pad: int, n_pad: int, tm: int, tk: int,
@@ -650,7 +680,7 @@ def pick_supertile_rows(m_pad: int, n_pad: int, tm: int, tk: int,
     return min(sm, m_pad)
 
 
-def admit_panel(a, n_pad: int, tm: int = 8, tk: int = 128,
+def admit_panel(a, n_pad: int, tm: int | None = None, tk: int = 128,
                 panel_strips: int | None = None,
                 budget_bytes: int = 8 * 1024 * 1024):
     """Budget-constrained geometry admission for a container — thin
@@ -664,7 +694,7 @@ def admit_panel(a, n_pad: int, tm: int = 8, tk: int = 128,
                                budget_bytes=budget_bytes)
     if g is None:
         return None
-    m_pad = round_up(int(a.shape[0]), tm)
+    m_pad = round_up(int(a.shape[0]), g.tm)
     return g.panel_strips, (None if g.sm == m_pad else g.sm)
 
 
@@ -826,7 +856,7 @@ def _panel_spmm(kt, st, offs, a_dense, b_padded,
 def spmm_panel(a_or_plan, b, interpret=None,
                budget_bytes: int = 8 * 1024 * 1024,
                mode: str = "highest",
-               tm: int = 8, tk: int = 128,
+               tm: int | None = None, tk: int = 128,
                panel_strips: int | None = None):
     """Container/plan-level entry for the pre-densified panel kernel.
 
@@ -858,7 +888,7 @@ def spmm_panel(a_or_plan, b, interpret=None,
                 "one output strip exceeds the VMEM residency budget or "
                 "every candidate plan exceeds PLAN_BYTES_CAP; use "
                 "spmm_tiles")
-        plan = panel_plan_from_geometry(a_or_plan, geom, tm=tm, tk=tk)
+        plan = panel_plan_from_geometry(a_or_plan, geom, tk=tk)
     m, k = plan.shape
     interp = should_interpret(interpret)
     # interpret mode has no VMEM to respect — CPU test callers with large
