@@ -101,6 +101,15 @@ def test_dispatch_routes_extreme_matrices_to_exact():
     np.testing.assert_array_equal(out, np.asarray(exact.spmm_exact(a, b)))
 
 
+def test_api_method_exact():
+    import tpuspmm
+
+    a, b = _extreme_cancelling_problem(seed=5)
+    ref = oracle.spmm_oracle(a, b)
+    out = np.asarray(tpuspmm.spmm(a, b, method="exact"))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
 def test_engine_has_compensated_variant_every_format():
     from tpuspmm.engine.registry import get_engine, FORMATS
 

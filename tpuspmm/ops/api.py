@@ -8,6 +8,9 @@ is provided as well, with method selection:
 - "xla"    — gather + segment-sum / batched-matmul XLA paths
 - "vendor" — jax.experimental.sparse baseline (kernel -1 semantics)
 - "pallas" — optimized Pallas kernels (tile-sparse / block-stream)
+- "exact"  — compensated f32 accumulation (ops/exact.py): deterministic
+  rel-1e-2/abs-1e-3 gate regardless of value magnitude (the reference's
+  f64-accumulator guarantee, reference/src/main.cu:185)
 - "auto"   — pallas on TPU backends, xla elsewhere
 """
 
@@ -43,6 +46,10 @@ def spmm(a, b, method: str = "auto"):
         from tpuspmm.engine.autotune import spmm_tuned
 
         return spmm_tuned(a, b)
+    if method == "exact":
+        from tpuspmm.ops import exact
+
+        return exact.spmm_exact(a, b)
     raise ValueError(f"unknown method {method!r}")
 
 
