@@ -17,10 +17,13 @@ python -m bench.await_tpu --budget 43200 --sleep 180 >> "$LOG" 2>&1 || {
 }
 echo "[$(date)] TUNNEL UP" | tee -a "$LOG"
 
+# Banners go ONLY to $LOG — callers redirect stdout into JSON/JSONL
+# artifacts, and a tee'd banner would corrupt every per-line json.loads
+# consumer (and the driver's one-JSON-line bench.py contract).
 step() {
-  echo "[$(date)] step: $*" | tee -a "$LOG"
+  echo "[$(date)] step: $*" >> "$LOG"
   "$@" 2>> "$LOG"
-  echo "[$(date)] rc=$?" | tee -a "$LOG"
+  echo "[$(date)] rc=$?" >> "$LOG"
 }
 
 # 1. compile+verify every variant end-to-end on the chip (incl. the new

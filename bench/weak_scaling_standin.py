@@ -2,8 +2,8 @@
 
 Real multi-chip hardware is not reachable from this machine (one v5e via
 the axon tunnel), so true weak-scaling efficiency (BASELINE.json: >=75%
-on 2 hosts) cannot be measured yet.  This harness produces the honest
-single-chip LOWER-BOUND artifact instead: partition A row-wise into
+on 2 hosts) cannot be measured yet.  This harness produces an honest
+single-chip stand-in artifact instead: partition A row-wise into
 1..N shards exactly as the row-sharded panel schedule would
 (tpuspmm/parallel/shard.py), run each shard's LOCAL panel kernel on the
 one real chip SEQUENTIALLY with chained device timing, and report
@@ -73,6 +73,11 @@ def main(argv=None) -> int:
 
     indptr = np.asarray(a.indptr)
     results = []
+    # efficiency is defined relative to t(1) — measure the unsharded run
+    # explicitly even when --counts omits 1, so eff is never silently
+    # normalized to the first requested count
+    if counts and counts[0] != 1:
+        counts = [1] + counts
     t1 = None
     for n in counts:
         m = a.shape[0]
@@ -104,11 +109,15 @@ def main(argv=None) -> int:
                "critical_ms": round(crit, 4),
                "per_shard_nnz_per_s": round(a.nnz / n / (crit / 1e3), 1)
                if crit > 0 else None,
-               "lower_bound_efficiency": round(eff, 4),
+               # UPPER bound on hardware weak-scaling efficiency: this
+               # harness excludes ICI collectives and skew, so real
+               # efficiency can only be lower (the name must match the
+               # caveat; review r3)
+               "standin_efficiency_upper_bound": round(eff, 4),
                "correct": correct}
         results.append(rec)
         print(f"# n={n}: total {total:.3f} ms, crit {crit:.3f} ms, "
-              f"eff_lb={eff * 100:.1f}%", file=sys.stderr)
+              f"eff_ub={eff * 100:.1f}%", file=sys.stderr)
 
     print(json.dumps({
         "harness": "single_chip_standin",

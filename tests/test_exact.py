@@ -137,3 +137,35 @@ def test_medium_2880_corpus_gate_deterministic():
         ref = oracle.spmm_scipy_oracle(a, b)
         out = np.asarray(exact.spmm_exact(a, b))
         assert allclose(out, ref, 1e-2, 1e-3), f"seed {seed}"
+
+
+def test_exact_admissible_blocks_pathological_skew():
+    """One heavy row in a large matrix makes the (m, W)-padded compensated
+    pass unaffordable — it must be inadmissible, and the auto dispatch
+    must fall through to an nnz-proportional strategy instead of
+    materializing the O(m*W) slot arrays (review r3)."""
+    m, k = 1000, 900
+    rows = np.concatenate([np.zeros(800, np.int32),
+                           np.arange(1, m, dtype=np.int32)])
+    cols = np.concatenate([np.arange(800, dtype=np.int32),
+                           np.arange(1, m, dtype=np.int32) % k])
+    vals = np.ones(len(rows), np.float32)
+    vals[0] = 1.0e5  # extreme value: needs_compensated fires
+    a = COO(shape=(m, k), rows=rows, cols=cols, values=vals).to_csr()
+    assert exact.needs_compensated(a)
+    # pad ratio m*W / nnz = 1000*800 / 1799 ≈ 445 >> cap
+    assert not exact.exact_admissible(a)
+
+    from tpuspmm.kernels import dispatch
+
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal((k, 32)).astype(np.float32)
+    out = np.asarray(dispatch.spmm_pallas(a, b))
+    ref = oracle.spmm_scipy_oracle(a, b)
+    # products here don't cancel, so the plain-f32 fallback stays in-gate
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_exact_admissible_accepts_balanced():
+    a = CSR.random(512, 512, 0.02, seed=5)
+    assert exact.exact_admissible(a)

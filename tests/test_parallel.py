@@ -345,3 +345,22 @@ def test_row_sharded_pair_empty_supertile_and_uneven_strips():
     mesh = make_mesh((2,), ("rows",))
     out = np.asarray(spmm_row_sharded(a, b, mesh, local="pair", plan=plan))
     assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_ring_and_kshard_reject_buckets_with_tile_local():
+    """Prebuilt triplet buckets cannot parameterize the tile-local
+    schedules (they take tile plans via plans=); passing them must raise,
+    not silently rebuild a different plan (review r3)."""
+    from tpuspmm.parallel.shard import bucket_triplets
+
+    a = CSR.random(64, 64, 0.05, seed=7)
+    b = np.random.default_rng(8).standard_normal((64, 32)).astype(np.float32)
+    mesh = make_mesh((8,), ("rows",))
+    n_dev = mesh.shape["rows"]
+    with pytest.raises(ValueError, match="plans="):
+        spmm_ring(a, b, mesh, buckets=bucket_triplets(a, n_dev, n_dev),
+                  local="tile")
+    with pytest.raises(ValueError, match="plans="):
+        __import__("tpuspmm.parallel", fromlist=["spmm_kshard"]).spmm_kshard(
+            a, b, mesh, buckets=bucket_triplets(a, 1, n_dev),
+                    local="tile")

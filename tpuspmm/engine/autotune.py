@@ -201,6 +201,8 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
 
     config = config or default_config()
     a = _as_tunable(a)
+    engine = get_engine(a.format_name)
+    b_dev = jnp.asarray(b, dtype=jnp.float32)
 
     dkey = _disk_key(a, b, config) if use_disk_cache else None
     results: List[TuneResult] = []
@@ -217,9 +219,37 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
             elif verbose and done:
                 print(f"# tune: resuming — {len(done)} variants already "
                       f"attempted, {len(results)} ranked")
+    if results:
+        # Re-anchor a resumed ranking: chip speed drifts across sessions
+        # (MEMORY.md axon-tunnel-wedge), so ms measured last session is
+        # not comparable with this session's.  Variant #1 (the always-
+        # admissible XLA path) doubles as the speed anchor — re-measure
+        # it now and rescale every stored entry into this session's
+        # units before merging.
+        anchor = engine.variants[0]
+        stored = next((r for r in results if r.variant_name == anchor.name),
+                      None)
+        if stored is None:
+            # no anchor in the stored ranking — its ms are uncomparable;
+            # re-measure from scratch (keeps correctness over resume speed)
+            results, done = [], set()
+        else:
+            try:
+                from tpuspmm.utils.timing import device_time_ms as _dtm
 
-    engine = get_engine(a.format_name)
-    b_dev = jnp.asarray(b, dtype=jnp.float32)
+                now_ms = _dtm(lambda bb: anchor.fn(a, bb, config), b_dev,
+                              iters=iters)
+                scale = now_ms / stored.ms if stored.ms > 0 else 1.0
+                if abs(scale - 1.0) > 0.05:
+                    results = [dataclasses.replace(
+                        r, ms=round(r.ms * scale, 4)) for r in results]
+                    if verbose:
+                        print(f"# tune: re-anchored resumed ranking "
+                              f"(session speed ratio {scale:.3f})")
+            except Exception:
+                pass  # backend down — this session's measurements will
+                # fail too, so nothing incomparable gets merged
+
     ref = None
     if verify:
         from tpuspmm.ops import oracle
@@ -274,7 +304,12 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
             print(f"# tune: {variant.name}: {ms:.3f} ms")
     results.sort(key=lambda r: r.ms)
 
-    _attach(a, b, results, config)
+    # Only a COMPLETE ranking goes to the in-memory serve cache: attaching
+    # a budget-exhausted subset would make spmm_tuned serve its winner
+    # forever without ever measuring the remaining variants.  A partial
+    # run persists to disk and the next tune()/spmm_tuned call resumes it.
+    if not out_of_budget:
+        _attach(a, b, results, config)
     if persist and results:
         _disk_store(dkey, results, done, complete=not out_of_budget)
     return results

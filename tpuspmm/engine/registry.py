@@ -244,6 +244,14 @@ def _compensated(a, b, config):
     return exact.spmm_exact(a, b)
 
 
+def _compensated_ok(a, b, config):
+    # skip (don't crash) matrices whose (m, W) slot padding makes the
+    # compensated pass unaffordable — e.g. one heavy row in a huge matrix
+    from tpuspmm.ops import exact
+
+    return exact.exact_admissible(a)
+
+
 def _coo_xla(a, b, config):
     from tpuspmm.ops import xla
 
@@ -315,7 +323,8 @@ def build_engines() -> Dict[str, Engine]:
                               "Dekker/TwoSum compensated f32 accumulation — "
                               "deterministic gate pass for extreme-|value| "
                               "matrices (≙ the f64 accumulator guarantee, "
-                              "main.cu:185)"),
+                              "main.cu:185)",
+                              admissible=_compensated_ok),
             ],
         ),
         "coo": Engine(
@@ -336,7 +345,8 @@ def build_engines() -> Dict[str, Engine]:
                               admissible=_pair_ok),
                 KernelVariant(6, "xla_compensated", _compensated,
                               "compensated f32 accumulation (deterministic "
-                              "gate for extreme values)"),
+                              "gate for extreme values)",
+                              admissible=_compensated_ok),
             ],
         ),
         "bsr": Engine(
@@ -356,7 +366,8 @@ def build_engines() -> Dict[str, Engine]:
                               admissible=_pair_ok),
                 KernelVariant(6, "xla_compensated", _compensated,
                               "compensated f32 accumulation (deterministic "
-                              "gate for extreme values)"),
+                              "gate for extreme values)",
+                              admissible=_compensated_ok),
             ],
         ),
         "ell": Engine(
@@ -383,7 +394,8 @@ def build_engines() -> Dict[str, Engine]:
                               admissible=_staged_ok),
                 KernelVariant(7, "xla_compensated", _compensated,
                               "compensated f32 accumulation (deterministic "
-                              "gate for extreme values)"),
+                              "gate for extreme values)",
+                              admissible=_compensated_ok),
             ],
         ),
     }

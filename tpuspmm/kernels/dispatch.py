@@ -162,10 +162,12 @@ def spmm_pallas(a, b, interpret=None, config=None):
     # extreme-|value| matrices: a single f32 product's rounding can breach
     # the abs-1e-3 gate, so every plain-f32 strategy is operand-luck there
     # (BENCHMARKS.md medium_2880 boundary case) — the heuristic auto path
-    # must serve the deterministic compensated accumulation instead
+    # serves the deterministic compensated accumulation instead, but only
+    # when its (m, W)-padded pass is affordable (a skewed heavy row must
+    # not turn an nnz-proportional problem into an O(m*W*n) one)
     from tpuspmm.ops import exact
 
-    if exact.needs_compensated(a):
+    if exact.needs_compensated(a) and exact.exact_admissible(a):
         return exact.spmm_exact(a, b)
 
     if isinstance(a, BSR) and bsr_spmm.mxu_friendly(a.block_size):

@@ -40,6 +40,14 @@ import numpy as np
 # path for their gate-exact tier.
 EXTREME_ABS_VALUE = 2.0e4
 
+# Affordability caps: the compensated pass materializes (m, W) slot
+# arrays (W = max row nnz, 8 B/slot for colidx+vals) and does O(m*W*n)
+# VPU work, so one pathological heavy row must not reroute a huge matrix
+# here — the dispatcher falls through to the nnz-proportional strategies
+# (which still per-run verify) when these caps are exceeded.
+EXACT_MAX_SLOT_BYTES = 256 * 1024 * 1024
+EXACT_MAX_PAD_RATIO = 32.0
+
 
 def needs_compensated(a) -> bool:
     """True when plain-f32 products can breach the abs-1e-3 gate for this
@@ -53,6 +61,45 @@ def needs_compensated(a) -> bool:
         except Exception:
             pass
     return cached > EXTREME_ABS_VALUE
+
+
+def _max_row_nnz(a) -> int:
+    """Cheap W = max nnz per row, from container metadata (no slot-array
+    materialization); cached on the container."""
+    cached = getattr(a, "_max_row_nnz", None)
+    if cached is not None:
+        return cached
+    fmt = getattr(a, "format_name", "")
+    if fmt == "csr":
+        ip = np.asarray(a.indptr, dtype=np.int64)
+        w = int(np.diff(ip).max()) if len(ip) > 1 else 0
+    elif fmt == "bsr":
+        # upper bound: densest block-row fully dense across its blocks
+        ip = np.asarray(a.indptr, dtype=np.int64)
+        blen = int(np.diff(ip).max()) if len(ip) > 1 else 0
+        w = blen * a.block_size[1]
+    elif hasattr(a, "rows"):  # COO
+        r = np.asarray(a.rows)
+        w = int(np.bincount(r, minlength=a.shape[0]).max()) if r.size else 0
+    else:  # ELL (col-major) and anything else: count via COO view
+        coo = a.to_coo()
+        r = np.asarray(coo.rows)
+        w = int(np.bincount(r, minlength=a.shape[0]).max()) if r.size else 0
+    try:
+        object.__setattr__(a, "_max_row_nnz", w)
+    except Exception:
+        pass
+    return w
+
+
+def exact_admissible(a) -> bool:
+    """True when the (m, W)-padded compensated pass is affordable for this
+    matrix (slot-array bytes and padding blow-up within the caps)."""
+    m = a.shape[0]
+    w = max(_max_row_nnz(a), 1)
+    if m * w * 8 > EXACT_MAX_SLOT_BYTES:
+        return False
+    return m * w <= EXACT_MAX_PAD_RATIO * max(a.nnz, 1)
 
 
 def _rowmajor_slots(a):
@@ -167,21 +214,19 @@ def spmm_exact(a, b):
     summation order (the TPU-native answer to the reference's f64
     accumulator, reference/src/main.cu:185)."""
     colidx, vals = _rowmajor_slots(a)
-    key = "rowmajor_slots_dev"
-    dev = getattr(a, "_device_arrays", None)
-    if isinstance(dev, dict) and key in dev:
-        colidx_d, vals_d = dev[key]
+    # own attribute name: `_device_arrays` is the tuple-typed cache the
+    # plan objects use — sharing it with a dict here would break any code
+    # treating that attribute uniformly
+    dev = getattr(a, "_exact_cache", None)
+    if dev is not None:
+        colidx_d, vals_d = dev
     else:
         colidx_d = jnp.asarray(colidx.T)  # slot-major for the scan
         vals_d = jnp.asarray(vals.T)
         if not isinstance(b, jax.core.Tracer):  # tracer-leak guard
-            if not isinstance(dev, dict):
-                dev = {}
-                try:
-                    object.__setattr__(a, "_device_arrays", dev)
-                except Exception:
-                    dev = None
-            if dev is not None:
-                dev[key] = (colidx_d, vals_d)
+            try:
+                object.__setattr__(a, "_exact_cache", (colidx_d, vals_d))
+            except Exception:
+                pass
     b = jnp.asarray(b, dtype=jnp.float32)
     return _spmm_compensated(colidx_d, vals_d, b, jnp.float32(1.0))

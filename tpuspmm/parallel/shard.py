@@ -461,6 +461,21 @@ def bucket_tileplans(a, n_row_shards: int, n_k_shards: int,
 
     c_max = round_up(max(p.num_chunks for rp in plans for p in rp), 8)
     E = chunk
+    # The uniform chunk count is structural (the stack shards over R and a
+    # ring step jnp.takes its bucket over S), so nnz skew pads EVERY bucket
+    # to the densest one's size — surface the blow-up instead of silently
+    # shipping a plan many times the payload (review r3):
+    total_chunks = sum(p.num_chunks for rp in plans for p in rp)
+    pad_ratio = (R * S * c_max) / max(total_chunks, 1)
+    plan_bytes = R * S * c_max * (E * 12 + 12)
+    if pad_ratio > 8.0 and plan_bytes > 64 * 1024 * 1024:
+        import warnings
+
+        warnings.warn(
+            f"bucket_tileplans: nnz skew pads the stacked plans {pad_ratio:.1f}x "
+            f"({plan_bytes / 1e6:.0f} MB for {total_chunks} real chunks); "
+            f"consider local='xla' (ragged triplet buckets) for this matrix",
+            RuntimeWarning, stacklevel=2)
     out = {
         "rt": np.zeros((R, S, c_max), np.int32),
         "kt": np.zeros((R, S, c_max), np.int32),

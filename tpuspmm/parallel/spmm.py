@@ -419,6 +419,11 @@ def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
     n_dev = mesh.shape[axis]
     n_orig = int(np.shape(b)[1])
     if local == "tile":
+        if buckets is not None:
+            raise ValueError(
+                "spmm_kshard(local='tile') takes prebuilt TILE plans via "
+                "plans= (bucket_tileplans), not triplet buckets=; the "
+                "buckets would be silently rebuilt otherwise")
         return _spmm_kshard_tile(a, b, mesh, axis, plans, interpret)
     if local != "xla":
         raise ValueError(f"spmm_kshard local must be 'xla' or 'tile', got {local!r}")
@@ -485,10 +490,13 @@ def _spmm_kshard_tile(a, b, mesh: Mesh, axis: str,
             f"m_local={plans.m_local} not divisible by {n_dev}; rebuild "
             f"with bucket_tileplans(a, 1, n_dev, m_align=n_dev)")
     m, k = plans.shape
-    b = np.asarray(b, dtype=np.float32)
     n_pad = round_up(n_orig, 128)
     tile_n = _divisor_tile_n(n_pad)
-    b_padded = np.pad(b, ((0, plans.k_local * n_dev - k), (0, n_pad - n_orig)))
+    # pad on device — forcing B to host per call would round-trip the
+    # largest operand through the tunnel on every serve (review r3)
+    b_padded = pad_dense_rows(b, plans.k_local * n_dev)
+    if n_pad != n_orig:
+        b_padded = jnp.pad(b_padded, ((0, 0), (0, n_pad - n_orig)))
 
     shard = functools.partial(_put, mesh)
     args = (
@@ -552,6 +560,11 @@ def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
     n_dev = mesh.shape[axis]
     n_orig = int(np.shape(b)[1])
     if local == "tile":
+        if buckets is not None:
+            raise ValueError(
+                "spmm_ring(local='tile') takes prebuilt TILE plans via "
+                "plans= (bucket_tileplans), not triplet buckets=; the "
+                "buckets would be silently rebuilt otherwise")
         return _spmm_ring_tile(a, b, mesh, axis, cols_axis, plans, interpret)
     if local != "xla":
         raise ValueError(f"spmm_ring local must be 'xla' or 'tile', got {local!r}")
@@ -632,7 +645,6 @@ def _spmm_ring_tile(a, b, mesh: Mesh, axis: str, cols_axis: Optional[str],
     if plans is None:
         plans = _cached_bucket_tileplans(a, n_dev, n_dev)
     m, k = plans.shape
-    b = np.asarray(b, dtype=np.float32)
     k_pad = plans.k_local * n_dev
     if cols_axis is not None:
         n_cols = mesh.shape[cols_axis]
@@ -643,7 +655,11 @@ def _spmm_ring_tile(a, b, mesh: Mesh, axis: str, cols_axis: Optional[str],
         n_local = n_pad = round_up(n_orig, 128)
         b_spec = P(axis)
     tile_n = _divisor_tile_n(n_local)
-    b_padded = np.pad(b, ((0, k_pad - k), (0, n_pad - n_orig)))
+    # pad on device — forcing B to host per call would round-trip the
+    # largest operand through the tunnel on every serve (review r3)
+    b_padded = pad_dense_rows(b, k_pad)
+    if n_pad != n_orig:
+        b_padded = jnp.pad(b_padded, ((0, 0), (0, n_pad - n_orig)))
 
     shard = functools.partial(_put, mesh)
     args = (
