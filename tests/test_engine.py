@@ -213,7 +213,7 @@ def test_autotune_excludes_gate_failing_variants():
     assert ranking
     engine = get_engine("csr")
     for r in ranking:
-        out = np.asarray(engine.variant(r.number).fn(a, b, cfg))
+        out = np.asarray(engine.run_kernel(r.number, a, b, cfg))
         assert allclose(out, ref, 1e-2, 1e-3), (
             f"tune ranked a gate-failing variant: {r.variant_name}")
 
@@ -244,8 +244,8 @@ def test_tuned_serving_skips_verified_only_by_default():
         served = np.asarray(autotune.spmm_tuned(a, b))
         assert allclose(served, ref, 1e-2, 1e-3)
         safe_first = next(r for r in ranking if not r.verified_only)
-        out_safe = np.asarray(engine.variant(safe_first.number).fn(
-            a, b, tpuspmm.default_config()))
+        out_safe = np.asarray(engine.run_kernel(
+            safe_first.number, a, b, tpuspmm.default_config()))
         np.testing.assert_array_equal(served, out_safe)
 
 
@@ -348,9 +348,10 @@ def test_autotune_budget_and_resume(tmp_path, monkeypatch):
     entry2 = json.load(open(tmp_path / "tune.json"))[key]
     assert entry2["complete"]
     assert set(entry["done"]) <= set(entry2["done"])
-    # + 1: the resume re-anchors the stored ranking by re-measuring the
-    # anchor variant once (cross-session chip-speed drift correction)
-    assert len(measured) <= get_engine("csr").num_kernels - n_done_1 + 1
+    # + 2: the resume re-anchors the stored ranking by re-measuring the
+    # anchor variant once, and the vendor baseline competes as an extra
+    # candidate beyond num_kernels
+    assert len(measured) <= get_engine("csr").num_kernels - n_done_1 + 2
     # a third call serves the completed entry with zero measurements
     measured.clear()
     a3 = CSR(a.indptr, a.indices, a.values, a.shape)
@@ -412,3 +413,21 @@ def test_autotune_partial_ranking_not_served_from_memory(tmp_path, monkeypatch):
     cache = getattr(a, "_tune_cache", None) or {}
     assert autotune._tune_key(b) in cache
     assert len(full) >= len(ranking)
+
+
+def test_autotune_vendor_competes_and_serves(small):
+    """The vendor baseline (kernel -1, reference convention) competes in
+    the tuned ranking, and spmm_tuned can serve it when it wins."""
+    from tpuspmm.engine import autotune
+
+    a, b, ref = small
+    ranking = autotune.tune(a, b, iters=1, use_disk_cache=False)
+    names = {r.variant_name for r in ranking}
+    assert "vendor_sparse" in names
+    # force the vendor to rank first: serving must route through
+    # run_kernel(-1) and still pass the gate
+    ranking.sort(key=lambda r: (r.number != -1, r.ms))
+    assert ranking[0].number == -1
+    a._tune_cache[autotune._tune_key(b)] = ranking
+    served = np.asarray(autotune.spmm_tuned(a, b))
+    assert allclose(served, ref, 1e-2, 1e-3)

@@ -114,7 +114,9 @@ def main(argv=None) -> int:
                     print(f"# {fmt}: no variant passed tuning", file=sys.stderr)
                     status = 1
                     continue
-                win = engine.variant(ranking[0].number)
+                win = (autotune._vendor_variant()
+                       if ranking[0].number == -1
+                       else engine.variant(ranking[0].number))
                 result = np.asarray(win.fn(a, b, config))
                 ok = allclose(result, oracle_mod.spmm_scipy_oracle(a, b),
                               config.rel_tol, config.abs_tol)

@@ -120,8 +120,29 @@ def _engine_rev(fmt: str) -> str:
     older engine (missing variants added since) must not be served."""
     from tpuspmm.engine.registry import get_engine
 
-    names = ",".join(v.name for v in get_engine(fmt).variants)
+    eng = get_engine(fmt)
+    names = ",".join(v.name for v in eng.variants)
+    if eng.supports_vendor:
+        names += ",vendor"  # vendor now competes in the ranking —
+        # pre-vendor disk entries must re-tune
     return hashlib.sha1(names.encode()).hexdigest()[:8]
+
+
+def _vendor_variant():
+    """The vendor baseline as a tune candidate (kernel number -1,
+    reference convention): production serving should use the library path
+    whenever it genuinely beats every custom variant — the reference
+    frames its whole benchmark as custom-vs-cuSPARSE
+    (reference/src/engine/engine.cpp:47-55)."""
+    from tpuspmm.engine.registry import KernelVariant
+
+    def fn(a, b, config):
+        from tpuspmm.ops import vendor
+
+        return vendor.spmm_vendor(a, b)
+
+    return KernelVariant(-1, "vendor_sparse", fn,
+                         "jax.experimental.sparse BCOO/BCSR baseline")
 
 
 def _disk_key(a, b, config=None) -> str:
@@ -262,7 +283,10 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
     persist = dkey is not None and verify  # only VERIFIED rankings persist —
     # a verify=False run would otherwise poison later verify=True tunes
 
-    for variant in engine.variants:
+    candidates = list(engine.variants)
+    if engine.supports_vendor:
+        candidates.append(_vendor_variant())
+    for variant in candidates:
         if variant.name in done:
             continue
         if (budget_s is not None and attempted > 0
@@ -352,4 +376,6 @@ def spmm_tuned(a, b, config=None, allow_verified_only: bool = False):
     if not ranking:
         return dispatch.spmm_pallas(a, b)
     engine = get_engine(a.format_name)
-    return engine.variant(ranking[0].number).fn(a, b, config)
+    # run_kernel handles the full numbering incl. -1 = vendor (the vendor
+    # baseline competes in the ranking and may win)
+    return engine.run_kernel(ranking[0].number, a, b, config)
