@@ -478,3 +478,36 @@ def test_supertiled_plan_structure():
     offs = plan.offs.ravel()
     assert ((offs % plan.tm) == 0).all()
     assert (offs <= plan.sm).all()
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_random_panel_geometry(seed):
+    """Randomized joint-geometry sweep over the panel kernel: ragged
+    shapes, tm ∈ {8,16,32}, random P / supertiling / row permutation —
+    the tm>8 paths are exercised on-chip by bench/ablate_panel, so
+    breadth here is cheap insurance against a geometry-specific indexing
+    bug surfacing mid-measurement."""
+    rng = np.random.default_rng(2000 + seed)
+    m = int(rng.integers(1, 700))
+    k = int(rng.integers(1, 700))
+    density = float(rng.uniform(0.001, 0.05))
+    nnz = max(1, int(m * k * density))
+    rows = rng.integers(0, m, nnz).astype(np.int32)
+    cols = rng.integers(0, k, nnz).astype(np.int32)
+    vals = rng.uniform(-50, 50, nnz).astype(np.float32)
+    a = COO(shape=(m, k), rows=rows, cols=cols, values=vals)
+    n = int(rng.integers(1, 200))
+    b = rng.uniform(-1, 1, (k, n)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+
+    tm = int(rng.choice([8, 16, 32]))
+    m_pad = -(-m // tm) * tm
+    sm_choices = [None] + [s * tm for s in (1, 2, 5) if s * tm < m_pad]
+    sm = sm_choices[int(rng.integers(0, len(sm_choices)))]
+    P = int(rng.choice([8, 16, 32]))
+    perm = rng.permutation(m).astype(np.int64) if rng.random() < 0.5 else None
+    plan = panel_spmm.build_panel_plan(rows, cols, vals, (m, k), tm=tm,
+                                       panel_strips=P, sm=sm, row_perm=perm)
+    out = np.asarray(panel_spmm.spmm_panel(plan, b, interpret=True))
+    assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol), (
+        m, k, n, density, tm, sm, P, perm is not None)
