@@ -127,17 +127,31 @@ class PanelPlan:
         return cached
 
 
+def _occupied_strip_groups(rows, ktile, nkt: int, tm: int):
+    """Sorted unique (row-strip, k-tile) group ids — the nnz-sized pass of
+    the strip histogram, independent of the supertiling so the geometry
+    search computes it once per (row order, tm)."""
+    return np.unique((rows // tm) * nkt + ktile)
+
+
+def _st_strip_counts_from_groups(g, nkt: int, st_div: int):
+    """Group the occupied strips per (supertile, k-tile) pair; operates on
+    the (small) unique-group array, so re-evaluating per supertiling
+    candidate is cheap."""
+    st_g = (g // nkt) // st_div
+    pair = st_g * nkt + (g % nkt)
+    _, cnt = np.unique(pair, return_counts=True)
+    return cnt, len(np.unique(st_g))
+
+
 def _st_strip_counts(rows, ktile, nkt: int, tm: int, st_div: int):
     """Occupied-(supertile, k-tile) group histogram for a candidate row
     order — the unpadded strip counts build_panel_plan will pad to
     multiples of P, grouped exactly as the builder groups them
     (per (supertile, k-tile) pair, ``st_div`` = supertile rows / tm).
     Returns (per-pair counts, number of occupied supertiles)."""
-    g = np.unique((rows // tm) * nkt + ktile)
-    st_g = (g // nkt) // st_div
-    pair = st_g * nkt + (g % nkt)
-    _, cnt = np.unique(pair, return_counts=True)
-    return cnt, len(np.unique(st_g))
+    g = _occupied_strip_groups(rows, ktile, nkt, tm)
+    return _st_strip_counts_from_groups(g, nkt, st_div)
 
 
 def _padded_strips(cnt: np.ndarray, P: int) -> int:
@@ -253,6 +267,11 @@ def _geometry_search(rows, cols, m: int, k: int, tm, tk: int,
         # will be stored compacted — see plan_values_bf16_exact) so
         # admission and the bandwidth term price the actual stream
         strip_bytes = tm_c * tk * val_bytes
+        # the nnz-sized unique pass depends only on (order, tm); the
+        # per-(P, supertiling) regroupings run on the small group array
+        groups = [_occupied_strip_groups(prows, ktile, nkt, tm_c)
+                  for _, prows in orders]
+        cnt_cache = {}
         for P in candidates:
             if budget_bytes is None:
                 sm = m_pad
@@ -263,9 +282,12 @@ def _geometry_search(rows, cols, m: int, k: int, tm, tk: int,
                     continue
             st_div = max(1, sm // tm_c)
             n_st = max(1, -(-m_pad // sm))
-            for perm, prows in orders:
-                cnt, occ_st = _st_strip_counts(prows, ktile, nkt, tm_c,
-                                               st_div)
+            for oi, (perm, prows) in enumerate(orders):
+                key = (oi, st_div)
+                if key not in cnt_cache:
+                    cnt_cache[key] = _st_strip_counts_from_groups(
+                        groups[oi], nkt, st_div)
+                cnt, occ_st = cnt_cache[key]
                 s = _padded_strips(cnt, P) + (n_st - occ_st) * P
                 plan_bytes = s * strip_bytes
                 if plan_bytes_cap is not None and plan_bytes > plan_bytes_cap:
