@@ -16,6 +16,10 @@ os.environ.setdefault("TPUSPMM_INTERPRET", "1")
 # other test runs) — rankings measured under interpret mode are meaningless
 os.environ["TPUSPMM_TUNE_CACHE"] = os.path.join(
     tempfile.mkdtemp(prefix="tpuspmm-test-"), "tune.json")
+# same for the panel geometry cache — tests must neither read a stale
+# user-cache geometry nor write test geometries into it
+os.environ["TPUSPMM_GEOM_CACHE"] = os.path.join(
+    tempfile.mkdtemp(prefix="tpuspmm-test-"), "geom.json")
 
 import jax
 

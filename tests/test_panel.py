@@ -81,7 +81,7 @@ def test_geometry_search_considers_tm():
         rows, cols, m, k, (8, 16, 32), 128, (8, 16, 32, 64),
         strip_us=0.05, step_us=0.17, reorder=False)
     assert g is not None
-    P, perm, sm, plan_bytes, tm = g
+    P, perm, sm, plan_bytes, tm, order_kind = g
     assert tm > 8, (tm, P, plan_bytes)
     # and with the chain uncharged, tm=8 (the base) must still win ties
     g0 = panel_spmm._geometry_search(
@@ -511,3 +511,42 @@ def test_fuzz_random_panel_geometry(seed):
     out = np.asarray(panel_spmm.spmm_panel(plan, b, interpret=True))
     assert allclose(out, ref, CFG.rel_tol, CFG.abs_tol), (
         m, k, n, density, tm, sm, P, perm is not None)
+
+
+def test_geometry_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """A second process (fresh container, same digest) must reconstruct
+    the identical geometry — including the m-sized row permutation,
+    rebuilt from the stored order KIND — without re-running the search."""
+    import json
+
+    monkeypatch.setenv("TPUSPMM_GEOM_CACHE", str(tmp_path / "geom.json"))
+    a, _ = _rand_coo(600, 900, 0.01, seed=42)
+    g1 = panel_spmm.resolve_panel_geometry(a, 256)
+    assert g1 is not None
+    data = json.load(open(tmp_path / "geom.json"))
+    assert len(data) == 1
+    (entry,) = data.values()
+    assert entry["order"] in ("natural",) + panel_spmm.ORDER_KINDS
+
+    # fresh container (no in-memory cache), same digest: disk hit
+    searched = []
+    orig = panel_spmm._geometry_search
+    monkeypatch.setattr(panel_spmm, "_geometry_search",
+                        lambda *a_, **k_: searched.append(1) or orig(*a_, **k_))
+    a2 = COO(shape=a.shape, rows=np.asarray(a.rows).copy(),
+             cols=np.asarray(a.cols).copy(),
+             values=np.asarray(a.values).copy())
+    g2 = panel_spmm.resolve_panel_geometry(a2, 256)
+    assert not searched  # served from disk, search never ran
+    assert (g2.panel_strips, g2.sm, g2.plan_bytes, g2.tm, g2.order_kind) == \
+        (g1.panel_strips, g1.sm, g1.plan_bytes, g1.tm, g1.order_kind)
+    if g1.row_perm is None:
+        assert g2.row_perm is None
+    else:
+        np.testing.assert_array_equal(g1.row_perm, g2.row_perm)
+    # and the reconstructed geometry serves a correct result
+    rng = np.random.default_rng(1)
+    b = rng.uniform(-1, 1, (a.shape[1], 64)).astype(np.float32)
+    plan = panel_spmm.panel_plan_from_geometry(a2, g2)
+    out = np.asarray(panel_spmm.spmm_panel(plan, b, interpret=True))
+    assert allclose(out, oracle.spmm_oracle(a, b), CFG.rel_tol, CFG.abs_tol)

@@ -47,12 +47,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpuspmm.kernels.common import round_up, should_interpret, pad_b
 from tpuspmm.kernels.panel_spmm import (
+    ORDER_KINDS,
     PLAN_BYTES_CAP,
     _container_cache,
     _dedupe_triplets,
+    _geom_disk_load,
+    _geom_disk_store,
+    _occupied_strip_groups,
     _order_candidates,
-    normalize_panel_mode,
+    _order_perm,
     _st_strip_counts,
+    _st_strip_counts_from_groups,
+    normalize_panel_mode,
     finish_panel_output,
     panel_matmul,
     values_bf16_exact,
@@ -402,7 +408,8 @@ def pick_supertile_rows_pair(m_pad: int, tile_n: int, tm: int, tk: int,
 
 PairGeometry = dataclasses.make_dataclass(
     "PairGeometry", ["row_perm", "sm", "chunk_strips", "plan_bytes",
-                     "tile_n"])
+                     "tile_n", ("order_kind", str, dataclasses.field(
+                         default="natural"))])
 
 
 def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
@@ -442,6 +449,37 @@ def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
     rows = np.asarray(coo.rows, np.int64)
     cols = np.asarray(coo.cols, np.int64)
     th = thresholds()
+    ktile = cols // tk
+
+    # on-disk geometry cache, shared with the panel resolver (see
+    # panel_spmm): the search is determined by (matrix, key, chip
+    # constants) — a serving restart must not replay it
+    from tpuspmm.engine.autotune import matrix_digest
+
+    th_fp = ":".join(f"{v:g}" if isinstance(v, float) else str(v)
+                     for _, v in sorted(th.items()))
+    dkey = ("v1:" + matrix_digest(a) + ":" + ":".join(map(str, key))
+            + ":" + th_fp)
+    status, entry = _geom_disk_load(dkey)
+    if status == "hit":
+        geom = "search"
+        if entry is None:
+            geom = None
+        else:
+            try:
+                perm = (None if entry["order"] == "natural"
+                        else _order_perm(rows, cols, m, ktile,
+                                         entry["order"]))
+                geom = PairGeometry(perm, int(entry["sm"]), int(entry["ch"]),
+                                    int(entry["plan_bytes"]),
+                                    int(entry["tile_n"]), entry["order"])
+            except Exception:
+                geom = "search"  # malformed entry — redo the search
+        if geom != "search":
+            if cache is not None:
+                cache[key] = geom
+            return geom
+
     val_bytes = (2 if plan_values_bf16_exact_cached(a, rows, cols,
                                                     coo.values, k) else 4)
     strip_bytes = tm * tk * val_bytes
@@ -453,14 +491,21 @@ def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
 
     m_pad = round_up(max(m, tm), tm)
     nkt = max(1, -(-k // tk))
-    ktile = cols // tk
 
     orders = [(None, rows)]
+    order_kinds = ["natural"]
     if reorder_rows and len(rows) and m > tm:
-        for perm in _order_candidates(rows, cols, m, ktile):
+        for kind, perm in zip(ORDER_KINDS,
+                              _order_candidates(rows, cols, m, ktile)):
             inv = np.empty(m, np.int64)
             inv[perm] = np.arange(m)
             orders.append((perm, inv[rows]))
+            order_kinds.append(kind)
+    # nnz-sized unique pass once per order; regroupings run on the small
+    # group arrays (mirrors the panel search)
+    groups = [_occupied_strip_groups(prows, ktile, nkt, tm)
+              for _, prows in orders]
+    cnt_cache = {}
 
     ch_candidates = ((chunk_strips,) if chunk_strips is not None
                      else (64, 32, 16, 8))
@@ -479,9 +524,12 @@ def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
                     continue
             st_div = max(1, sm // tm)
             n_st = max(1, -(-m_pad // sm))
-            for perm, prows in orders:
-                cnt, occ_st = _st_strip_counts(prows, ktile, nkt, tm,
-                                               st_div)
+            for oi, (perm, prows) in enumerate(orders):
+                ckey = (oi, st_div)
+                if ckey not in cnt_cache:
+                    cnt_cache[ckey] = _st_strip_counts_from_groups(
+                        groups[oi], nkt, st_div)
+                cnt, occ_st = cnt_cache[ckey]
                 strips = int(cnt.sum())
                 steps = (int(np.sum(-(-cnt // ch))) + (n_st - occ_st))
                 plan_bytes = strips * strip_bytes
@@ -492,11 +540,17 @@ def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
                         * (step_us + ch * (strip_bytes / bw + strip_us))
                         + (perm_us if perm is not None else 0.0))
                 if best is None or cost < best[0] * 0.97:
-                    best = (cost, perm, plan_bytes, sm, ch, tile_n)
+                    best = (cost, perm, plan_bytes, sm, ch, tile_n,
+                            order_kinds[oi])
         if best is not None:
             break  # widest admissible tile wins; narrower only re-streams
     geom = (None if best is None
-            else PairGeometry(best[1], best[3], best[4], best[2], best[5]))
+            else PairGeometry(best[1], best[3], best[4], best[2], best[5],
+                              best[6]))
+    _geom_disk_store(dkey, None if geom is None else {
+        "sm": int(geom.sm), "ch": int(geom.chunk_strips),
+        "plan_bytes": int(geom.plan_bytes), "tile_n": int(geom.tile_n),
+        "order": geom.order_kind})
     if cache is not None:
         cache[key] = geom
     return geom

@@ -159,25 +159,34 @@ def _padded_strips(cnt: np.ndarray, P: int) -> int:
     return int(((-(-cnt // P)) * P).sum())
 
 
-def _order_candidates(rows, cols, m: int, ktile, sig_depth: int = 4):
-    """Candidate row permutations — all cluster rows sharing k-tiles into
-    the same octet so their nonzeros densify together: column-centroid
-    sort, (first k-tile, centroid) lexsort, and a k-tile-SIGNATURE
-    lexsort (each row keyed by its first ``sig_depth`` distinct k-tiles,
-    centroid tiebreak).  The signature sort is the strongest clusterer on
-    matrices whose rows span several k-tiles (measured on the corpus:
-    cuts large_20000's padded strips 47% vs natural order and
-    medium_4096's 17% vs the first+centroid sort) while the cheaper sorts
-    win on single-tile-dominated structures; the geometry cost model
-    picks per matrix."""
+# Named row-ordering kinds, index-aligned with _order_candidates' return
+# (the geometry disk cache stores the winning KIND, not the m-sized
+# permutation — one sort rebuilds it on a cache hit)
+ORDER_KINDS = ("centroid", "first_centroid", "signature")
+
+
+def _row_centroids(rows, cols, m: int):
     cent = np.zeros(m)
     num = np.zeros(m)
     np.add.at(cent, rows, cols)
     np.add.at(num, rows, 1)
-    cent = np.where(num > 0, cent / np.maximum(num, 1), np.inf)
-    first = np.full(m, np.inf)
-    np.minimum.at(first, rows, ktile)
+    return np.where(num > 0, cent / np.maximum(num, 1), np.inf)
 
+
+def _order_perm(rows, cols, m: int, ktile, kind: str, sig_depth: int = 4,
+                cent=None):
+    """Build ONE named candidate permutation (see _order_candidates for
+    the kinds) — the geometry disk cache's reconstruction path."""
+    if cent is None:
+        cent = _row_centroids(rows, cols, m)
+    if kind == "centroid":
+        return np.argsort(cent, kind="stable")
+    if kind == "first_centroid":
+        first = np.full(m, np.inf)
+        np.minimum.at(first, rows, ktile)
+        return np.lexsort((cent, first))
+    if kind != "signature":
+        raise ValueError(f"unknown row-order kind {kind!r}")
     # signature keys: the d-th distinct k-tile of each row (BIG when the
     # row has fewer than d+1 distinct tiles, pushing short rows together)
     nk = int(ktile.max()) + 1 if len(ktile) else 1
@@ -191,10 +200,25 @@ def _order_candidates(rows, cols, m: int, ktile, sig_depth: int = 4):
     for d in range(sig_depth):
         sel = counts > d
         keys[urows[sel], d] = kk[starts[sel] + d]
-    sig = np.lexsort((cent, *(keys[:, d] for d in
-                              range(sig_depth - 1, -1, -1))))
+    return np.lexsort((cent, *(keys[:, d] for d in
+                               range(sig_depth - 1, -1, -1))))
 
-    return (np.argsort(cent, kind="stable"), np.lexsort((cent, first)), sig)
+
+def _order_candidates(rows, cols, m: int, ktile, sig_depth: int = 4):
+    """Candidate row permutations — all cluster rows sharing k-tiles into
+    the same octet so their nonzeros densify together: column-centroid
+    sort, (first k-tile, centroid) lexsort, and a k-tile-SIGNATURE
+    lexsort (each row keyed by its first ``sig_depth`` distinct k-tiles,
+    centroid tiebreak).  The signature sort is the strongest clusterer on
+    matrices whose rows span several k-tiles (measured on the corpus:
+    cuts large_20000's padded strips 47% vs natural order and
+    medium_4096's 17% vs the first+centroid sort) while the cheaper sorts
+    win on single-tile-dominated structures; the geometry cost model
+    picks per matrix."""
+    cent = _row_centroids(rows, cols, m)
+    return tuple(_order_perm(rows, cols, m, ktile, kind, sig_depth,
+                             cent=cent)
+                 for kind in ORDER_KINDS)
 
 
 # P candidates for the auto geometry chooser; the kernel unrolls a
@@ -243,8 +267,8 @@ def _geometry_search(rows, cols, m: int, k: int, tm, tk: int,
     deviate from the natural order at (tm=first candidate, P=prefer)
     (falling back to the smallest admissible P when ``prefer`` is not
     admissible).  ``tm`` may be an int (pinned) or a tuple of
-    candidates.  Returns (P, row_perm, sm, plan_bytes, tm) or None when
-    no candidate passes admission."""
+    candidates.  Returns (P, row_perm, sm, plan_bytes, tm, order_kind)
+    or None when no candidate passes admission."""
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     tms = (tm,) if isinstance(tm, int) else tuple(tm)
@@ -253,11 +277,14 @@ def _geometry_search(rows, cols, m: int, k: int, tm, tk: int,
     bw = hbm_gbps * 1e3          # bytes per µs
 
     orders = [(None, rows)]
+    order_kinds = ["natural"]
     if reorder and len(rows) and m > tms[0]:
-        for perm in _order_candidates(rows, cols, m, ktile):
+        for kind, perm in zip(ORDER_KINDS,
+                              _order_candidates(rows, cols, m, ktile)):
             inv = np.empty(m, np.int64)
             inv[perm] = np.arange(m)
             orders.append((perm, inv[rows]))
+            order_kinds.append(kind)
 
     # (cost, P, perm, sm, plan_bytes, tm); naturals first per (tm, P)
     entries = []
@@ -295,7 +322,8 @@ def _geometry_search(rows, cols, m: int, k: int, tm, tk: int,
                 cost = (s * (strip_bytes / bw + strip_us)
                         + (s // P) * step_us
                         + (perm_us if perm is not None else 0.0))
-                entries.append((cost, P, perm, sm, plan_bytes, tm_c))
+                entries.append((cost, P, perm, sm, plan_bytes, tm_c,
+                                order_kinds[oi]))
     if not entries:
         return None
     naturals = [e for e in entries if e[2] is None and e[5] == tms[0]]
@@ -305,7 +333,7 @@ def _geometry_search(rows, cols, m: int, k: int, tm, tk: int,
     best = min(entries, key=lambda e: e[0])
     if base is not None and best[0] >= base[0] * 0.97:
         best = base
-    return best[1], best[2], best[3], best[4], best[5]
+    return best[1], best[2], best[3], best[4], best[5], best[6]
 
 
 def choose_row_order(rows, cols, m: int, k: int, tm: int = 8,
@@ -522,9 +550,62 @@ def _container_cache(a):
     return cache
 
 
+# ---------------------------------------------------------------------------
+# on-disk geometry cache: serving processes restart; the joint
+# (tm, P, order, supertiling) search costs 60-110 ms per large matrix and
+# is fully determined by (matrix, width, caps, chip), so replaying it
+# every restart is pure waste.  Stored per matrix DIGEST; the winning row
+# ORDER is stored by kind (one sort rebuilds the m-sized permutation),
+# not as the permutation itself.
+# ---------------------------------------------------------------------------
+
+def _geom_disk_path() -> str:
+    import os
+
+    return os.environ.get(
+        "TPUSPMM_GEOM_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tpuspmm",
+                     "geom.json"))
+
+
+def _geom_disk_load(key: str):
+    """-> ("hit", entry-dict-or-None) | ("miss", None).  entry None means
+    the search itself concluded "inadmissible" for these caps."""
+    import json
+
+    try:
+        with open(_geom_disk_path()) as f:
+            data = json.load(f)
+    except Exception:
+        return "miss", None
+    if key not in data:
+        return "miss", None
+    return "hit", data[key]
+
+
+def _geom_disk_store(key: str, entry) -> None:
+    import json
+    import os
+
+    path = _geom_disk_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        data = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        data[key] = entry
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)  # atomic
+    except Exception:
+        pass  # best-effort
+
+
 PanelGeometry = collections.namedtuple(
-    "PanelGeometry", "panel_strips row_perm sm plan_bytes tm",
-    defaults=(8,))
+    "PanelGeometry", "panel_strips row_perm sm plan_bytes tm order_kind",
+    defaults=(8, "natural"))
 
 
 def resolve_panel_geometry(a, n_pad: int = 256, tm: int | None = None,
@@ -565,7 +646,37 @@ def resolve_panel_geometry(a, n_pad: int = 256, tm: int | None = None,
     m, k = coo.shape
     rows = np.asarray(coo.rows)
     cols = np.asarray(coo.cols)
+
+    from tpuspmm.engine.autotune import matrix_digest
+
     th = thresholds()
+    # the chip's cost-model constants are part of the key: refitting
+    # step/strip/bandwidth numbers must invalidate stored geometries
+    th_fp = ":".join(f"{v:g}" if isinstance(v, float) else str(v)
+                     for _, v in sorted(th.items()))
+    dkey = ("v1:" + matrix_digest(a) + ":"
+            + ":".join(map(str, key)) + ":" + th_fp)
+    status, entry = _geom_disk_load(dkey)
+    if status == "hit":
+        if entry is None:
+            geom = None
+        else:
+            try:
+                perm = (None if entry["order"] == "natural"
+                        else _order_perm(rows.astype(np.int64),
+                                         cols.astype(np.int64), m,
+                                         cols.astype(np.int64) // tk,
+                                         entry["order"]))
+                geom = PanelGeometry(int(entry["p"]), perm, int(entry["sm"]),
+                                     int(entry["plan_bytes"]),
+                                     int(entry["tm"]), entry["order"])
+            except Exception:
+                geom = "search"  # malformed entry — redo the search
+        if geom != "search":
+            if cache is not None:
+                cache[key] = geom
+            return geom
+
     # serve-time charge for un-permuting a row-reordered C: read+write
     # the actual m×n_pad output once through the measured effective
     # row-gather bandwidth (below HBM peak — XLA lowers jnp.take on rows
@@ -594,6 +705,10 @@ def resolve_panel_geometry(a, n_pad: int = 256, tm: int | None = None,
         g = _geometry_search(rows, cols, m, k, tm_arg, tk, STRIP_CANDIDATES,
                              prefer=16, **kwargs)
     geom = None if g is None else PanelGeometry(*g)
+    _geom_disk_store(dkey, None if geom is None else {
+        "p": geom.panel_strips, "sm": int(geom.sm),
+        "plan_bytes": int(geom.plan_bytes), "tm": int(geom.tm),
+        "order": geom.order_kind})
     if cache is not None:
         cache[key] = geom
     return geom
