@@ -90,6 +90,7 @@ def main(argv=None) -> int:
                     ok = allclose(out, ref, 1e-2, 1e-3)
                     ms = timing.device_time_ms(fn, b_dev,
                                                iters=args.repeats)
+                    n_strips = plan.offs.size
                     print(json.dumps({
                         "matrix": name, "geom": label, "mode": mode,
                         "P": geom.panel_strips, "tm": geom.tm,
@@ -97,6 +98,12 @@ def main(argv=None) -> int:
                         "perm": geom.row_perm is not None,
                         "plan_mb": round(plan.plan_bytes / 1e6, 2),
                         "dtype": str(plan.a_dense.dtype),
+                        # model-fit inputs (bench/fit_panel_model.py):
+                        "strips": int(n_strips),
+                        "steps": int(plan.n_panels),
+                        "m": int(a.shape[0]), "n": int(args.width),
+                        "strip_bytes": int(plan.tm * plan.tk
+                                           * plan.a_dense.dtype.itemsize),
                         "ms": round(ms, 4),
                         "vendor_ms": round(t_vendor, 4),
                         "correct": bool(ok)}), flush=True)
