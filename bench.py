@@ -134,7 +134,11 @@ def _run(argv, degraded: bool = False) -> int:
     correct = allclose(np.asarray(out), ref, 1e-2, 1e-3)
     t_ours = _device_seconds(serve, b_dev, iters=args.repeats)
 
-    # vendor baseline: jax.experimental.sparse, best of BCSR/BCOO @ dense
+    # vendor baseline: jax.experimental.sparse, best of BCSR/BCOO @ dense.
+    # Measured FRESH even though the tune ranking may carry a vendor entry:
+    # a complete disk-cached ranking's ms can be from an earlier session,
+    # and chip speed drifts across sessions — vs_baseline must compare
+    # ours and vendor in the SAME window.
     try:
         vendor.spmm_vendor(a, b_dev)  # warm the lowering caches
         t_vendor = _device_seconds(lambda bb: vendor.spmm_vendor(a, bb),

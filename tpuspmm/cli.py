@@ -114,15 +114,16 @@ def main(argv=None) -> int:
                     print(f"# {fmt}: no variant passed tuning", file=sys.stderr)
                     status = 1
                     continue
-                win = (autotune._vendor_variant()
-                       if ranking[0].number == -1
-                       else engine.variant(ranking[0].number))
-                result = np.asarray(win.fn(a, b, config))
+                win_number = ranking[0].number
+                win_name = ranking[0].variant_name
+                # run_kernel owns the full numbering incl. -1 = vendor
+                result = np.asarray(engine.run_kernel(win_number, a, b,
+                                                      config))
                 ok = allclose(result, oracle_mod.spmm_scipy_oracle(a, b),
                               config.rel_tol, config.abs_tol)
                 rec = report_mod.make_record(
                     testcase=testcase, sparsity=a.sparsity, fmt=fmt,
-                    kernel_type=win.number, kernel_name=win.name, correct=ok,
+                    kernel_type=win_number, kernel_name=win_name, correct=ok,
                     nnz=a.nnz, shape=a.shape, n=b.shape[1],
                     kernel_ms=ranking[0].ms,
                     extra={"tuned": "1", "ranking": [

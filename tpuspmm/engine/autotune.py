@@ -141,6 +141,10 @@ def _vendor_variant():
 
         return vendor.spmm_vendor(a, b)
 
+    # NB the vendor lowering (gather + segment ops, not MXU matmuls)
+    # passes the rel 1e-2/abs 1e-3 gate at default precision on the real
+    # chip — all 48 vendor records in results/formats_full.jsonl are
+    # correct:"1" — so tune()'s gate does not silently exclude it there.
     return KernelVariant(-1, "vendor_sparse", fn,
                          "jax.experimental.sparse BCOO/BCSR baseline")
 
@@ -182,8 +186,11 @@ def _disk_store(key: str, results: List[TuneResult], done: Set[str],
         os.makedirs(os.path.dirname(path), exist_ok=True)
         data = {}
         if os.path.exists(path):
-            with open(path) as f:
-                data = json.load(f)
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except Exception:
+                data = {}  # corrupted cache file — heal it by rewriting
         data[key] = {"results": [dataclasses.asdict(r) for r in results],
                      "done": sorted(done), "complete": complete}
         tmp = path + ".tmp"

@@ -51,12 +51,12 @@ from tpuspmm.kernels.panel_spmm import (
     PLAN_BYTES_CAP,
     _container_cache,
     _dedupe_triplets,
+    _geom_disk_key,
     _geom_disk_load,
     _geom_disk_store,
     _occupied_strip_groups,
     _order_candidates,
     _order_perm,
-    _st_strip_counts,
     _st_strip_counts_from_groups,
     normalize_panel_mode,
     finish_panel_output,
@@ -454,12 +454,7 @@ def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
     # on-disk geometry cache, shared with the panel resolver (see
     # panel_spmm): the search is determined by (matrix, key, chip
     # constants) — a serving restart must not replay it
-    from tpuspmm.engine.autotune import matrix_digest
-
-    th_fp = ":".join(f"{v:g}" if isinstance(v, float) else str(v)
-                     for _, v in sorted(th.items()))
-    dkey = ("v1:" + matrix_digest(a) + ":" + ":".join(map(str, key))
-            + ":" + th_fp)
+    dkey = _geom_disk_key(a, key, th)
     status, entry = _geom_disk_load(dkey)
     if status == "hit":
         geom = "search"

@@ -592,8 +592,12 @@ def _geom_disk_store(key: str, entry) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         data = {}
         if os.path.exists(path):
-            with open(path) as f:
-                data = json.load(f)
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except Exception:
+                data = {}  # corrupted cache file — heal it by rewriting
+                # (the atomic replace below makes the overwrite safe)
         data[key] = entry
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -601,6 +605,19 @@ def _geom_disk_store(key: str, entry) -> None:
         os.replace(tmp, path)  # atomic
     except Exception:
         pass  # best-effort
+
+
+def _geom_disk_key(a, key: tuple, th: dict) -> str:
+    """Shared disk-cache key for the panel/pair geometry resolvers: the
+    search is determined by (matrix digest, resolver key, the chip's
+    cost-model constants) — constants are embedded so a refit invalidates
+    stored geometries.  One helper so a schema bump cannot go one-sided."""
+    from tpuspmm.engine.autotune import matrix_digest
+
+    th_fp = ":".join(f"{v:g}" if isinstance(v, float) else str(v)
+                     for _, v in sorted(th.items()))
+    return ("v1:" + matrix_digest(a) + ":" + ":".join(map(str, key))
+            + ":" + th_fp)
 
 
 PanelGeometry = collections.namedtuple(
@@ -647,15 +664,8 @@ def resolve_panel_geometry(a, n_pad: int = 256, tm: int | None = None,
     rows = np.asarray(coo.rows)
     cols = np.asarray(coo.cols)
 
-    from tpuspmm.engine.autotune import matrix_digest
-
     th = thresholds()
-    # the chip's cost-model constants are part of the key: refitting
-    # step/strip/bandwidth numbers must invalidate stored geometries
-    th_fp = ":".join(f"{v:g}" if isinstance(v, float) else str(v)
-                     for _, v in sorted(th.items()))
-    dkey = ("v1:" + matrix_digest(a) + ":"
-            + ":".join(map(str, key)) + ":" + th_fp)
+    dkey = _geom_disk_key(a, key, th)
     status, entry = _geom_disk_load(dkey)
     if status == "hit":
         if entry is None:
