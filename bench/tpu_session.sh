@@ -55,3 +55,10 @@ step python -m bench.weak_scaling_standin --case large_25605 \
     --counts 1,2,4,8 --repeats 16 > results/weak_scaling_standin.jsonl
 
 echo "[$(date)] r3 TPU session DONE" | tee -a "$LOG"
+
+# 7. one-command refit of the panel cost-model constants from the tm
+#    ablation (bench/fit_panel_model.py); rank-deficient sweeps produce
+#    an error record, not garbage constants
+step python -m bench.fit_panel_model results/ablate_panel_tm.jsonl \
+    > results/panel_model_fit.json
+echo "[$(date)] r3 fit step done" | tee -a "$LOG"
