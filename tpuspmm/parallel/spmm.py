@@ -119,12 +119,15 @@ def spmm_row_sharded(a, b, mesh: Mesh, axis: str = "rows",
     if plan is None:
         plan = shard_rows_tileplan(a, n_dev)
     m, k = plan.shape
-    b = np.asarray(b, dtype=np.float32)
-    n = b.shape[1]
+    n = int(np.shape(b)[1])
     n_pad = round_up(n, 128)
     tile_n = _divisor_tile_n(n_pad)
     k_pad = plan.num_k_tiles * plan.tile_k
-    b_padded = np.pad(b, ((0, k_pad - k), (0, n_pad - n)))
+    # pad on device — a host round trip per call would re-transfer the
+    # largest operand through the tunnel on every serve
+    b_padded = pad_dense_rows(b, k_pad)
+    if n_pad != n:
+        b_padded = jnp.pad(b_padded, ((0, 0), (0, n_pad - n)))
 
     shard = functools.partial(_put, mesh)
     args = (
@@ -194,8 +197,7 @@ def _spmm_row_sharded_panel(a, b, mesh: Mesh, axis: str,
 
     n_dev = mesh.shape[axis]
     interp = should_interpret(interpret)
-    b = np.asarray(b, dtype=np.float32)
-    n = b.shape[1]
+    n = int(np.shape(b)[1])
     n_pad = round_up(n, 128)
     if plan is None:
         m_local_guess = round_up(-(-a.shape[0] // n_dev), 8)
@@ -218,7 +220,11 @@ def _spmm_row_sharded_panel(a, b, mesh: Mesh, axis: str,
             "residency budget; rebuild the shard plan with sm from "
             "pick_supertile_rows, or pass plan=None to auto-supertile")
     k_pad = round_up(k, plan.tk)
-    b_padded = np.pad(b, ((0, k_pad - k), (0, n_pad - n)))
+    # pad on device — a host round trip per call would re-transfer the
+    # largest operand through the tunnel on every serve
+    b_padded = pad_dense_rows(b, k_pad)
+    if n_pad != n:
+        b_padded = jnp.pad(b_padded, ((0, 0), (0, n_pad - n)))
 
     shard = functools.partial(_put, mesh)
     args = (
@@ -287,8 +293,7 @@ def _spmm_row_sharded_pair(a, b, mesh: Mesh, axis: str,
 
     n_dev = mesh.shape[axis]
     interp = should_interpret(interpret)
-    b = np.asarray(b, dtype=np.float32)
-    n = b.shape[1]
+    n = int(np.shape(b)[1])
     n_pad = round_up(n, 128)
     if plan is None:
         m_local_guess = round_up(-(-a.shape[0] // n_dev), 8)
@@ -308,7 +313,11 @@ def _spmm_row_sharded_pair(a, b, mesh: Mesh, axis: str,
             "residency budget; rebuild the shard plan with sm from "
             "pick_supertile_rows_pair, or pass plan=None to auto-supertile")
     k_pad = round_up(k, plan.tk)
-    b_padded = np.pad(b, ((0, k_pad - k), (0, n_pad - n)))
+    # pad on device — a host round trip per call would re-transfer the
+    # largest operand through the tunnel on every serve
+    b_padded = pad_dense_rows(b, k_pad)
+    if n_pad != n:
+        b_padded = jnp.pad(b_padded, ((0, 0), (0, n_pad - n)))
 
     shard = functools.partial(_put, mesh)
     args = (
@@ -338,13 +347,16 @@ def spmm_2d(a, b, mesh: Mesh, plan: Optional[RowShardedPlan] = None,
     if plan is None:
         plan = shard_rows_tileplan(a, n_rows)
     m, k = plan.shape
-    b = np.asarray(b, dtype=np.float32)
-    n = b.shape[1]
+    n = int(np.shape(b)[1])
     n_local = round_up(-(-n // n_cols), 128)
     tile_n = _divisor_tile_n(n_local)
     n_pad = n_local * n_cols
     k_pad = plan.num_k_tiles * plan.tile_k
-    b_padded = np.pad(b, ((0, k_pad - k), (0, n_pad - n)))
+    # pad on device — a host round trip per call would re-transfer the
+    # largest operand through the tunnel on every serve
+    b_padded = pad_dense_rows(b, k_pad)
+    if n_pad != n:
+        b_padded = jnp.pad(b_padded, ((0, 0), (0, n_pad - n)))
 
     shard = functools.partial(_put, mesh)
     args = (
