@@ -431,3 +431,18 @@ def test_autotune_vendor_competes_and_serves(small):
     a._tune_cache[autotune._tune_key(b)] = ranking
     served = np.asarray(autotune.spmm_tuned(a, b))
     assert allclose(served, ref, 1e-2, 1e-3)
+
+
+def test_report_noise_floor_suppresses_derived_fields():
+    """Derived GFLOP/s / roofline fields require a measurement above the
+    chained timer's ~2 µs noise floor — on the tunneled backend RTT
+    subtraction can net a tiny kernel out to ~0 and the division would
+    print absurd throughput (seen on small_32x32 on-chip verify records)."""
+    from tpuspmm.engine.report import make_record
+
+    kw = dict(testcase="t", sparsity=0.1, fmt="csr", kernel_type=1,
+              nnz=98, shape=(32, 32), n=32)
+    noisy = make_record(kernel_ms=1.9e-9, **kw)
+    assert "gflops" not in noisy and "hbmRooflineFraction" not in noisy
+    real = make_record(kernel_ms=0.5, **kw)
+    assert real["gflops"] > 0 and real["nnzPerSec"] > 0

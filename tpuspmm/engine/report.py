@@ -106,7 +106,12 @@ def make_record(
         "sequentialTimeMs": sequential_ms,
         "backend": backend,
     }
-    if kernel_ms > 0 and nnz and n:
+    # derived throughput only when the measurement is above the chained
+    # timer's noise floor: on the tunneled backend device_time_ms subtracts
+    # a measured RTT, so a kernel cheaper than ~2 µs can net out to ~0 (or
+    # sub-ns) and the derived GFLOP/s / roofline fields would be garbage
+    # (seen on small_32x32 verify records: 3.2e6 "GFLOP/s")
+    if kernel_ms > 2e-3 and nnz and n:
         secs = kernel_ms / 1e3
         chip = detect_chip()
         rec["gflops"] = spmm_flops(nnz, n) / secs / 1e9
