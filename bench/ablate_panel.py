@@ -35,6 +35,10 @@ def main(argv=None) -> int:
                    help="comma list of strip heights to ablate (e.g. "
                         "8,16,32); empty = the geometry search's pick "
                         "only.  Use to fit panel_strip_us on-chip.")
+    p.add_argument("--tk", default="",
+                   help="comma list of k-tile widths to ablate (e.g. "
+                        "128,256); empty = the geometry search's pick "
+                        "only.  Validates the tk term of the cost model.")
     p.add_argument("--budget-bytes", type=int, default=8 * 1024 * 1024)
     args = p.parse_args(argv)
 
@@ -67,17 +71,19 @@ def main(argv=None) -> int:
         except Exception:
             t_vendor = float("nan")
 
-        geoms = [("auto", None, None)]
-        geoms += [(f"P{s}", int(s), None)
+        geoms = [("auto", None, None, None)]
+        geoms += [(f"P{s}", int(s), None, None)
                   for s in args.strips.split(",") if s]
-        geoms += [(f"tm{t}", None, int(t))
+        geoms += [(f"tm{t}", None, int(t), None)
                   for t in args.tm.split(",") if t]
-        for label, strips, tm_pin in geoms:
+        geoms += [(f"tk{t}", None, None, int(t))
+                  for t in args.tk.split(",") if t]
+        for label, strips, tm_pin, tk_pin in geoms:
             try:
                 geom = panel_spmm.resolve_panel_geometry(
                     a, budget_bytes=args.budget_bytes,
                     plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP,
-                    panel_strips=strips, tm=tm_pin)
+                    panel_strips=strips, tm=tm_pin, tk=tk_pin)
                 if geom is None:
                     print(json.dumps({"matrix": name, "geom": label,
                                       "error": "inadmissible"}))
@@ -94,7 +100,7 @@ def main(argv=None) -> int:
                     print(json.dumps({
                         "matrix": name, "geom": label, "mode": mode,
                         "P": geom.panel_strips, "tm": geom.tm,
-                        "sm": geom.sm,
+                        "tk": geom.tk, "sm": geom.sm,
                         "perm": geom.row_perm is not None,
                         "plan_mb": round(plan.plan_bytes / 1e6, 2),
                         "dtype": str(plan.a_dense.dtype),

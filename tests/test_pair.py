@@ -59,8 +59,11 @@ def test_plan_stores_no_padding():
     ends = plan.start + plan.count
     nz = plan.count > 0
     assert (np.diff(plan.start[nz]) >= 0).all()
-    # panel plan of the same matrix stores strictly more strips (padding)
-    ppanel = panel_spmm.panel_plan_from_container(a, reorder_rows=False)
+    # panel plan of the same matrix AT THE SAME (tm, tk) stores strictly
+    # more strips (padding) — pin the geometry the group count was
+    # computed at, since the auto search may pick wider tiles
+    ppanel = panel_spmm.panel_plan_from_container(a, tm=8, tk=128,
+                                                  reorder_rows=False)
     assert ppanel.a_dense.shape[0] // 8 > groups
 
 

@@ -81,7 +81,7 @@ def test_geometry_search_considers_tm():
         rows, cols, m, k, (8, 16, 32), 128, (8, 16, 32, 64),
         strip_us=0.05, step_us=0.17, reorder=False)
     assert g is not None
-    P, perm, sm, plan_bytes, tm, order_kind = g
+    P, perm, sm, plan_bytes, tm, order_kind, tk = g
     assert tm > 8, (tm, P, plan_bytes)
     # and with the chain uncharged, tm=8 (the base) must still win ties
     g0 = panel_spmm._geometry_search(
@@ -404,11 +404,13 @@ def test_plan_compacts_to_bf16_when_lossless():
     a = _pm1_coo(100, 300, 4, seed=3)
     plan = panel_spmm.panel_plan_from_container(a)
     assert plan.a_dense.dtype == ml_dtypes.bfloat16
-    # plan_bytes (the admission/cost input) reflects the halved stream
+    # plan_bytes (the admission/cost input) reflects the halved stream —
+    # compare at the SAME geometry (the auto pick may choose tm/tk/P)
     f32_plan = panel_spmm.build_panel_plan(
         np.asarray(a.rows), np.asarray(a.cols),
         np.asarray(a.values) * np.float32(0.1003),  # not bf16-exact
-        a.shape)
+        a.shape, tm=plan.tm, tk=plan.tk, panel_strips=plan.panel_strips,
+        sm=plan.sm)
     assert f32_plan.a_dense.dtype == np.float32
     assert plan.plan_bytes * 2 <= f32_plan.plan_bytes
     # gate-exact serving through the 3-term-B path
@@ -538,8 +540,9 @@ def test_geometry_disk_cache_roundtrip(tmp_path, monkeypatch):
              values=np.asarray(a.values).copy())
     g2 = panel_spmm.resolve_panel_geometry(a2, 256)
     assert not searched  # served from disk, search never ran
-    assert (g2.panel_strips, g2.sm, g2.plan_bytes, g2.tm, g2.order_kind) == \
-        (g1.panel_strips, g1.sm, g1.plan_bytes, g1.tm, g1.order_kind)
+    assert (g2.panel_strips, g2.sm, g2.plan_bytes, g2.tm, g2.order_kind,
+            g2.tk) == \
+        (g1.panel_strips, g1.sm, g1.plan_bytes, g1.tm, g1.order_kind, g1.tk)
     if g1.row_perm is None:
         assert g2.row_perm is None
     else:
@@ -550,3 +553,40 @@ def test_geometry_disk_cache_roundtrip(tmp_path, monkeypatch):
     plan = panel_spmm.panel_plan_from_geometry(a2, g2)
     out = np.asarray(panel_spmm.spmm_panel(plan, b, interpret=True))
     assert allclose(out, oracle.spmm_oracle(a, b), CFG.rel_tol, CFG.abs_tol)
+
+
+@pytest.mark.parametrize("tk", [256, 512])
+def test_panel_wide_ktile_correct(tk):
+    """tk > 128 plans (fewer grid steps, wider strips) must serve the
+    same result: the kernel's B block becomes (tk, n_pad) and B is padded
+    to num_k_tiles*tk."""
+    a, _ = _rand_coo(200, 700, 0.02, seed=7)
+    rng = np.random.default_rng(2)
+    b = rng.uniform(-1, 1, (a.shape[1], 64)).astype(np.float32)
+    geom = panel_spmm.resolve_panel_geometry(a, 128, tk=tk)
+    assert geom is not None and geom.tk == tk
+    plan = panel_spmm.panel_plan_from_geometry(a, geom)
+    assert plan.tk == tk
+    out = np.asarray(panel_spmm.spmm_panel(plan, b, interpret=True))
+    assert allclose(out, oracle.spmm_oracle(a, b), CFG.rel_tol, CFG.abs_tol)
+
+
+def test_geometry_search_tk_tradeoff():
+    """The joint search must pick a wider k-tile only when the modelled
+    step/strip savings beat the extra plan bandwidth: with per-step cost
+    dominating, tk=256 (half the steps) should win; with bandwidth
+    dominating (huge step-free budget), tk=128 should hold."""
+    a, _ = _rand_coo(512, 2048, 0.01, seed=3)
+    from tpuspmm.ops.xla import coo_view
+
+    coo = coo_view(a)
+    rows = np.asarray(coo.rows, np.int64)
+    cols = np.asarray(coo.cols, np.int64)
+    g_step = panel_spmm._geometry_search(
+        rows, cols, 512, 2048, 8, (128, 256), (16,),
+        step_us=100.0, strip_us=0.0, hbm_gbps=1e9, reorder=False)
+    assert g_step[6] == 256  # steps dominate -> wider tiles
+    g_bw = panel_spmm._geometry_search(
+        rows, cols, 512, 2048, 8, (128, 256), (16,),
+        step_us=0.0, strip_us=0.0, hbm_gbps=1.0, reorder=False)
+    assert g_bw[6] == 128  # bandwidth dominates -> denser plan

@@ -232,6 +232,15 @@ STRIP_CANDIDATES = (8, 16, 32, 64)
 # cluster so well that tm=32 adds ZERO plan bytes while running 4x fewer
 # slice ops (large_25605: 12864 -> 3216 strips at identical 26.3 MB).
 TM_CANDIDATES = (8, 16, 32)
+# k-tile-width candidates for the joint search: doubling tk halves the
+# number of k-tiles, so occupied (strip, k-tile) groups merge — fewer
+# grid steps (amortizing the fixed per-step cost) and fewer strip RMWs —
+# at the cost of wider, emptier strips (more plan bytes re-read per
+# call).  Exact plan bytes per candidate keep the tradeoff honest; on
+# the corpus tk=256 cuts steps 25-45% for +10-45% plan bytes, so the
+# cost model picks it only where the step/strip terms dominate the
+# bandwidth term.
+TK_CANDIDATES = (128, 256)
 
 
 def _geometry_search(rows, cols, m: int, k: int, tm, tk: int,
@@ -257,83 +266,92 @@ def _geometry_search(rows, cols, m: int, k: int, tm, tk: int,
     ~grid-step bound) but pads more strips per (supertile, k-tile) pair
     (loses for plan-bandwidth-bound matrices like large_25605); larger
     tm cuts the per-panel slice-RMW chain (strip_cost) but pads more
-    rows into each strip.  Plan bytes are EXACT, not modelled: the strip
-    histogram is computed per candidate (tm, supertiling) with the same
-    (supertile, k-tile) grouping and empty-supertile panels
-    build_panel_plan produces, so a ``plan_bytes_cap``
-    (HBM-affordability admission) filters candidates truthfully and a
-    VMEM ``budget_bytes`` (None = single supertile) charges the extra
-    padding that supertiling causes.  A ≥3% modelled win is required to
-    deviate from the natural order at (tm=first candidate, P=prefer)
-    (falling back to the smallest admissible P when ``prefer`` is not
-    admissible).  ``tm`` may be an int (pinned) or a tuple of
-    candidates.  Returns (P, row_perm, sm, plan_bytes, tm, order_kind)
-    or None when no candidate passes admission."""
+    rows into each strip; larger tk merges k-tiles — fewer grid steps
+    and strip RMWs — but pads more columns into each strip.  Plan bytes
+    are EXACT, not modelled: the strip histogram is computed per
+    candidate (tm, tk, supertiling) with the same (supertile, k-tile)
+    grouping and empty-supertile panels build_panel_plan produces, so a
+    ``plan_bytes_cap`` (HBM-affordability admission) filters candidates
+    truthfully and a VMEM ``budget_bytes`` (None = single supertile)
+    charges the extra padding that supertiling causes.  A ≥3% modelled
+    win is required to deviate from the natural order at
+    (tm=first candidate, tk=first candidate, P=prefer) (falling back to
+    the smallest admissible P when ``prefer`` is not admissible).
+    ``tm`` and ``tk`` may each be an int (pinned) or a tuple of
+    candidates.  Returns (P, row_perm, sm, plan_bytes, tm, order_kind,
+    tk) or None when no candidate passes admission."""
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     tms = (tm,) if isinstance(tm, int) else tuple(tm)
-    nkt = max(1, -(-k // tk))
-    ktile = cols // tk
+    tks = (tk,) if isinstance(tk, int) else tuple(tk)
     bw = hbm_gbps * 1e3          # bytes per µs
 
-    orders = [(None, rows)]
-    order_kinds = ["natural"]
-    if reorder and len(rows) and m > tms[0]:
-        for kind, perm in zip(ORDER_KINDS,
-                              _order_candidates(rows, cols, m, ktile)):
-            inv = np.empty(m, np.int64)
-            inv[perm] = np.arange(m)
-            orders.append((perm, inv[rows]))
-            order_kinds.append(kind)
-
-    # (cost, P, perm, sm, plan_bytes, tm); naturals first per (tm, P)
+    # (cost, P, perm, sm, plan_bytes, tm, order_kind, tk)
     entries = []
-    for tm_c in tms:
-        m_pad = round_up(max(m, tm_c), tm_c)
-        # val_bytes=2 when the deduped values round-trip bf16 (the plan
-        # will be stored compacted — see plan_values_bf16_exact) so
-        # admission and the bandwidth term price the actual stream
-        strip_bytes = tm_c * tk * val_bytes
-        # the nnz-sized unique pass depends only on (order, tm); the
-        # per-(P, supertiling) regroupings run on the small group array
-        groups = [_occupied_strip_groups(prows, ktile, nkt, tm_c)
-                  for _, prows in orders]
-        cnt_cache = {}
-        for P in candidates:
-            if budget_bytes is None:
-                sm = m_pad
-            else:
-                sm = pick_supertile_rows(m_pad, n_pad, tm_c, tk,
-                                         budget_bytes, panel_strips=P)
-                if sm is None:
-                    continue
-            st_div = max(1, sm // tm_c)
-            n_st = max(1, -(-m_pad // sm))
-            for oi, (perm, prows) in enumerate(orders):
-                key = (oi, st_div)
-                if key not in cnt_cache:
-                    cnt_cache[key] = _st_strip_counts_from_groups(
-                        groups[oi], nkt, st_div)
-                cnt, occ_st = cnt_cache[key]
-                s = _padded_strips(cnt, P) + (n_st - occ_st) * P
-                plan_bytes = s * strip_bytes
-                if plan_bytes_cap is not None and plan_bytes > plan_bytes_cap:
-                    continue
-                cost = (s * (strip_bytes / bw + strip_us)
-                        + (s // P) * step_us
-                        + (perm_us if perm is not None else 0.0))
-                entries.append((cost, P, perm, sm, plan_bytes, tm_c,
-                                order_kinds[oi]))
+    for tk_c in tks:
+        nkt = max(1, -(-k // tk_c))
+        ktile = cols // tk_c
+
+        # order candidates depend on ktile, so rebuild per tk candidate
+        orders = [(None, rows)]
+        order_kinds = ["natural"]
+        if reorder and len(rows) and m > tms[0]:
+            for kind, perm in zip(ORDER_KINDS,
+                                  _order_candidates(rows, cols, m, ktile)):
+                inv = np.empty(m, np.int64)
+                inv[perm] = np.arange(m)
+                orders.append((perm, inv[rows]))
+                order_kinds.append(kind)
+
+        for tm_c in tms:
+            m_pad = round_up(max(m, tm_c), tm_c)
+            # val_bytes=2 when the deduped values round-trip bf16 (the
+            # plan will be stored compacted — see plan_values_bf16_exact)
+            # so admission and the bandwidth term price the actual stream
+            strip_bytes = tm_c * tk_c * val_bytes
+            # the nnz-sized unique pass depends only on (order, tm, tk);
+            # per-(P, supertiling) regroupings run on the small group
+            # array
+            groups = [_occupied_strip_groups(prows, ktile, nkt, tm_c)
+                      for _, prows in orders]
+            cnt_cache = {}
+            for P in candidates:
+                if budget_bytes is None:
+                    sm = m_pad
+                else:
+                    sm = pick_supertile_rows(m_pad, n_pad, tm_c, tk_c,
+                                             budget_bytes, panel_strips=P)
+                    if sm is None:
+                        continue
+                st_div = max(1, sm // tm_c)
+                n_st = max(1, -(-m_pad // sm))
+                for oi, (perm, prows) in enumerate(orders):
+                    key = (oi, st_div)
+                    if key not in cnt_cache:
+                        cnt_cache[key] = _st_strip_counts_from_groups(
+                            groups[oi], nkt, st_div)
+                    cnt, occ_st = cnt_cache[key]
+                    s = _padded_strips(cnt, P) + (n_st - occ_st) * P
+                    plan_bytes = s * strip_bytes
+                    if (plan_bytes_cap is not None
+                            and plan_bytes > plan_bytes_cap):
+                        continue
+                    cost = (s * (strip_bytes / bw + strip_us)
+                            + (s // P) * step_us
+                            + (perm_us if perm is not None else 0.0))
+                    entries.append((cost, P, perm, sm, plan_bytes, tm_c,
+                                    order_kinds[oi], tk_c))
     if not entries:
         return None
-    naturals = [e for e in entries if e[2] is None and e[5] == tms[0]]
+    naturals = [e for e in entries
+                if e[2] is None and e[5] == tms[0] and e[7] == tks[0]]
     base = next((e for e in naturals if e[1] == prefer), None)
     if base is None and naturals:
         base = naturals[0]  # smallest admissible P, natural order
     best = min(entries, key=lambda e: e[0])
     if base is not None and best[0] >= base[0] * 0.97:
         best = base
-    return best[1], best[2], best[3], best[4], best[5], best[6]
+    return best[1], best[2], best[3], best[4], best[5], best[6], best[7]
 
 
 def choose_row_order(rows, cols, m: int, k: int, tm: int = 8,
@@ -621,26 +639,29 @@ def _geom_disk_key(a, key: tuple, th: dict) -> str:
 
 
 PanelGeometry = collections.namedtuple(
-    "PanelGeometry", "panel_strips row_perm sm plan_bytes tm order_kind",
-    defaults=(8, "natural"))
+    "PanelGeometry", "panel_strips row_perm sm plan_bytes tm order_kind tk",
+    defaults=(8, "natural", 128))
 
 
 def resolve_panel_geometry(a, n_pad: int = 256, tm: int | None = None,
-                           tk: int = 128,
+                           tk: int | None = None,
                            panel_strips: int | None = None,
                            reorder_rows: bool = True,
                            budget_bytes: int | None = None,
                            plan_bytes_cap: int | None = None):
     """Resolve the full panel geometry for a container: a PanelGeometry
-    (P, row_perm, sm, exact plan_bytes, tm), or None when no candidate
-    fits the VMEM ``budget_bytes`` / ``plan_bytes_cap`` admission.
+    (P, row_perm, sm, exact plan_bytes, tm, order kind, tk), or None when
+    no candidate fits the VMEM ``budget_bytes`` / ``plan_bytes_cap``
+    admission.
 
     ``panel_strips=None`` (the default/auto mode) searches P candidates ×
     row orderings with the detected chip's constants; an explicit P pins
     the strip count (degrading to smaller candidates only when P itself
     is inadmissible).  ``tm=None`` (default) jointly searches the strip
     heights in TM_CANDIDATES — larger strips run fewer per-panel
-    slice-RMW chain ops at the cost of in-strip padding; an int pins it.
+    slice-RMW chain ops at the cost of in-strip padding; ``tk=None``
+    jointly searches the k-tile widths in TK_CANDIDATES — wider tiles
+    run fewer grid steps at the cost of in-strip padding; ints pin them.
     ``budget_bytes=None`` means a single supertile
     (no VMEM constraint).  The result is cached on the container — the
     search is a one-time plan cost.  Host-only: never initializes the
@@ -653,7 +674,8 @@ def resolve_panel_geometry(a, n_pad: int = 256, tm: int | None = None,
     # (detect_chip falls back to "cpu") must not pin "cpu"-row constants
     # for the container's lifetime once the real chip is known
     tm_arg = TM_CANDIDATES if tm is None else tm
-    key = ("panel_geom", detect_chip(initialize=False), tm_arg, tk,
+    tk_arg = TK_CANDIDATES if tk is None else tk
+    key = ("panel_geom", detect_chip(initialize=False), tm_arg, tk_arg,
            panel_strips, reorder_rows, n_pad, budget_bytes, plan_bytes_cap)
     cache = _container_cache(a)
     if cache is not None and key in cache:
@@ -672,14 +694,17 @@ def resolve_panel_geometry(a, n_pad: int = 256, tm: int | None = None,
             geom = None
         else:
             try:
+                # the winning order's keys were computed at the winning
+                # tk's tiling — rebuild with THAT tk, not the arg
+                e_tk = int(entry.get("tk", 128))
                 perm = (None if entry["order"] == "natural"
                         else _order_perm(rows.astype(np.int64),
                                          cols.astype(np.int64), m,
-                                         cols.astype(np.int64) // tk,
+                                         cols.astype(np.int64) // e_tk,
                                          entry["order"]))
                 geom = PanelGeometry(int(entry["p"]), perm, int(entry["sm"]),
                                      int(entry["plan_bytes"]),
-                                     int(entry["tm"]), entry["order"])
+                                     int(entry["tm"]), entry["order"], e_tk)
             except Exception:
                 geom = "search"  # malformed entry — redo the search
         if geom != "search":
@@ -703,22 +728,23 @@ def resolve_panel_geometry(a, n_pad: int = 256, tm: int | None = None,
         val_bytes=2 if plan_values_bf16_exact(rows, cols, coo.values, k)
         else 4)
     if panel_strips is not None:
-        g = _geometry_search(rows, cols, m, k, tm_arg, tk, (panel_strips,),
+        g = _geometry_search(rows, cols, m, k, tm_arg, tk_arg,
+                             (panel_strips,),
                              prefer=panel_strips, **kwargs)
         if g is None:  # pinned P inadmissible — degrade, don't refuse
             smaller = tuple(c for c in STRIP_CANDIDATES
                             if c < panel_strips)
             if smaller:
-                g = _geometry_search(rows, cols, m, k, tm_arg, tk, smaller,
-                                     prefer=smaller[0], **kwargs)
+                g = _geometry_search(rows, cols, m, k, tm_arg, tk_arg,
+                                     smaller, prefer=smaller[0], **kwargs)
     else:
-        g = _geometry_search(rows, cols, m, k, tm_arg, tk, STRIP_CANDIDATES,
-                             prefer=16, **kwargs)
+        g = _geometry_search(rows, cols, m, k, tm_arg, tk_arg,
+                             STRIP_CANDIDATES, prefer=16, **kwargs)
     geom = None if g is None else PanelGeometry(*g)
     _geom_disk_store(dkey, None if geom is None else {
         "p": geom.panel_strips, "sm": int(geom.sm),
         "plan_bytes": int(geom.plan_bytes), "tm": int(geom.tm),
-        "order": geom.order_kind})
+        "order": geom.order_kind, "tk": int(geom.tk)})
     if cache is not None:
         cache[key] = geom
     return geom
@@ -735,14 +761,16 @@ def resolve_panel_strips(a, tm: int = 8, tk: int = 128,
 
 
 def panel_plan_from_geometry(a, geom: PanelGeometry, tm: int | None = None,
-                             tk: int = 128) -> PanelPlan:
+                             tk: int | None = None) -> PanelPlan:
     """Build (or fetch the cached) PanelPlan for a resolved geometry —
     serving steady state pays the densification and H2D transfer once.
-    The cache key is the geometry CONTENT (tm, P, sm, permutation
+    The cache key is the geometry CONTENT (tm, tk, P, sm, permutation
     bytes), so two resolution paths that land on the same geometry share
-    one plan and two that differ never collide.  ``tm=None`` (default)
-    takes the strip height the geometry search picked."""
+    one plan and two that differ never collide.  ``tm=None`` / ``tk=None``
+    (default) take the strip height / k-tile width the geometry search
+    picked."""
     tm = geom.tm if tm is None else tm
+    tk = geom.tk if tk is None else tk
     perm = geom.row_perm
     m_pad = round_up(int(a.shape[0]), tm)
     sm = geom.sm if geom.sm != m_pad else None
@@ -764,7 +792,8 @@ def panel_plan_from_geometry(a, geom: PanelGeometry, tm: int | None = None,
     return plan
 
 
-def panel_plan_from_container(a, tm: int | None = None, tk: int = 128,
+def panel_plan_from_container(a, tm: int | None = None,
+                              tk: int | None = None,
                               panel_strips: int | None = None,
                               sm: int | None = None,
                               reorder_rows: bool = True,
@@ -827,7 +856,8 @@ def pick_supertile_rows(m_pad: int, n_pad: int, tm: int, tk: int,
     return min(sm, m_pad)
 
 
-def admit_panel(a, n_pad: int, tm: int | None = None, tk: int = 128,
+def admit_panel(a, n_pad: int, tm: int | None = None,
+                tk: int | None = None,
                 panel_strips: int | None = None,
                 budget_bytes: int = 8 * 1024 * 1024):
     """Budget-constrained geometry admission for a container — thin
@@ -1003,7 +1033,7 @@ def _panel_spmm(kt, st, offs, a_dense, b_padded,
 def spmm_panel(a_or_plan, b, interpret=None,
                budget_bytes: int = 8 * 1024 * 1024,
                mode: str = "highest",
-               tm: int | None = None, tk: int = 128,
+               tm: int | None = None, tk: int | None = None,
                panel_strips: int | None = None):
     """Container/plan-level entry for the pre-densified panel kernel.
 
