@@ -446,3 +446,24 @@ def test_report_noise_floor_suppresses_derived_fields():
     assert "gflops" not in noisy and "hbmRooflineFraction" not in noisy
     real = make_record(kernel_ms=0.5, **kw)
     assert real["gflops"] > 0 and real["nnzPerSec"] > 0
+
+
+def test_timing_chain_lengthening_rule():
+    """The chain must dominate the tunnel RTT before the RTT subtraction
+    is trusted: a 1 ms chain against a 60 ms RTT is network jitter, not a
+    kernel measurement (the round-3 panel ablation measured a 2.3x spread
+    on identical geometries at iters=16 because of exactly this)."""
+    from tpuspmm.utils.timing import _next_iters
+
+    # signal buried under the RTT: grow enough to make it >= one RTT
+    nxt = _next_iters(device_ms=1.0, rtt_ms=60.0, iters=16)
+    assert nxt is not None and nxt * 1.0 / 16 >= 60.0
+    # signal already dominates: accept
+    assert _next_iters(device_ms=80.0, rtt_ms=60.0, iters=16) is None
+    # cap respected (ultra-cheap kernels can't grow forever)
+    assert _next_iters(device_ms=0.01, rtt_ms=60.0, iters=4096) is None
+    # growth is computed against the 0.5 ms floor, so one step may not
+    # reach the cap — but repeated application converges to it
+    assert _next_iters(device_ms=0.01, rtt_ms=60.0, iters=16) == 1920
+    # negative net (total < RTT) still grows, bounded by the 0.5 ms floor
+    assert _next_iters(device_ms=-3.0, rtt_ms=60.0, iters=16) == 16 * 120

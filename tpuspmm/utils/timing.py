@@ -107,8 +107,23 @@ def device_time_ms(fn: Callable, b, iters: int = 16, repeats: int = 3) -> float:
     # observation is the closest to the true device cost
     total = float(np.min(times))
     device_ms = total - tunnel_rtt_ms()
-    if device_ms < 0.1 * tunnel_rtt_ms() and iters < 512:
-        # the whole chain is below the RTT noise floor — the subtraction
-        # is meaningless; lengthen the chain until the signal dominates
-        return device_time_ms(fn, b, iters=min(iters * 8, 512), repeats=repeats)
+    nxt = _next_iters(device_ms, tunnel_rtt_ms(), iters)
+    if nxt is not None:
+        return device_time_ms(fn, b, iters=nxt, repeats=repeats)
     return max(device_ms, 1e-6) / iters
+
+
+def _next_iters(device_ms: float, rtt_ms: float,
+                iters: int, cap: int = 4096):
+    """Chain-lengthening rule of :func:`device_time_ms`: the chain must
+    DOMINATE the round trip, not merely register against it — RTT jitter
+    on this tunnel is several ms, so a chain shorter than ~1 RTT measures
+    the network, not the kernel (seen as a 2.3x spread across
+    identical-geometry panel ablations at iters=16, where 16 x 64 µs of
+    signal hid under ~60 ms of RTT).  Returns the lengthened iteration
+    count sized so the subtracted signal is at least one RTT long, or
+    None when the measurement already qualifies (or the cap is hit)."""
+    if device_ms >= rtt_ms or iters >= cap:
+        return None
+    grow = max(2, int(np.ceil(rtt_ms / max(device_ms, 0.5))))
+    return min(iters * grow, cap)
