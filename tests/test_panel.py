@@ -81,7 +81,7 @@ def test_geometry_search_considers_tm():
         rows, cols, m, k, (8, 16, 32), 128, (8, 16, 32, 64),
         strip_us=0.05, step_us=0.17, reorder=False)
     assert g is not None
-    P, perm, sm, plan_bytes, tm, order_kind, tk = g
+    P, perm, sm, plan_bytes, tm, order_kind, tk, cost = g
     assert tm > 8, (tm, P, plan_bytes)
     # and with the chain uncharged, tm=8 (the base) must still win ties
     g0 = panel_spmm._geometry_search(

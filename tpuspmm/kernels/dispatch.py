@@ -197,19 +197,28 @@ def spmm_pallas(a, b, interpret=None, config=None):
     geom = panel_spmm.resolve_panel_geometry(
         a, n_pad, panel_strips=config.panel_strips, budget_bytes=budget,
         plan_bytes_cap=th["panel_max_plan_bytes"])
-    if geom is not None:
-        pplan = panel_spmm.panel_plan_from_geometry(a, geom)
-        return panel_spmm.spmm_panel(pplan, b, interpret=interpret,
-                                     budget_bytes=budget)
 
-    # the run-length pair kernel admits geometries the panel cannot
-    # (width-tiled outputs too wide for any supertile) at the same
-    # plan-affordability class — prefer it over the tile kernels there
+    # the run-length pair kernel stores zero plan padding and admits
+    # geometries the panel cannot (width-tiled outputs too wide for any
+    # supertile).  Both searches model serve time in the same units and
+    # constants, so when both admit, the cheaper model serves (measured
+    # on-chip r3: pair wins medium_4096 0.13 vs 0.94 ms and large_15120
+    # 0.08 vs 0.48 ms while panel holds large_25605/21074/20000 — the
+    # preference is matrix-shaped, not fixed)
     from tpuspmm.kernels import pair_spmm
 
     pgeom = pair_spmm.resolve_pair_geometry(
         a, n_pad, budget_bytes=budget,
         plan_bytes_cap=th["panel_max_plan_bytes"])
+    if (geom is not None and pgeom is not None
+            and geom.cost_us is not None and pgeom.cost_us is not None
+            and pgeom.cost_us < geom.cost_us):
+        geom = None  # pair's modelled serve time wins
+    if geom is not None:
+        pplan = panel_spmm.panel_plan_from_geometry(a, geom)
+        return panel_spmm.spmm_panel(pplan, b, interpret=interpret,
+                                     budget_bytes=budget)
+
     if pgeom is not None:
         # build the plan from the geometry just resolved (mirrors the
         # panel path): spmm_pair(a, ...) would re-resolve under the

@@ -409,7 +409,10 @@ def pick_supertile_rows_pair(m_pad: int, tile_n: int, tm: int, tk: int,
 PairGeometry = dataclasses.make_dataclass(
     "PairGeometry", ["row_perm", "sm", "chunk_strips", "plan_bytes",
                      "tile_n", ("order_kind", str, dataclasses.field(
-                         default="natural"))])
+                         default="natural")),
+                     ("cost_us", object, dataclasses.field(default=None))])
+# cost_us: the search's modelled serve time, same constants/units as
+# PanelGeometry.cost_us — the heuristic dispatch compares the two.
 
 
 def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
@@ -467,7 +470,8 @@ def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
                                          entry["order"]))
                 geom = PairGeometry(perm, int(entry["sm"]), int(entry["ch"]),
                                     int(entry["plan_bytes"]),
-                                    int(entry["tile_n"]), entry["order"])
+                                    int(entry["tile_n"]), entry["order"],
+                                    entry.get("cost"))
             except Exception:
                 geom = "search"  # malformed entry — redo the search
         if geom != "search":
@@ -541,11 +545,12 @@ def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
             break  # widest admissible tile wins; narrower only re-streams
     geom = (None if best is None
             else PairGeometry(best[1], best[3], best[4], best[2], best[5],
-                              best[6]))
+                              best[6], float(best[0])))
     _geom_disk_store(dkey, None if geom is None else {
         "sm": int(geom.sm), "ch": int(geom.chunk_strips),
         "plan_bytes": int(geom.plan_bytes), "tile_n": int(geom.tile_n),
-        "order": geom.order_kind})
+        "order": geom.order_kind,
+        "cost": None if geom.cost_us is None else float(geom.cost_us)})
     if cache is not None:
         cache[key] = geom
     return geom

@@ -279,7 +279,8 @@ def _geometry_search(rows, cols, m: int, k: int, tm, tk: int,
     the smallest admissible P when ``prefer`` is not admissible).
     ``tm`` and ``tk`` may each be an int (pinned) or a tuple of
     candidates.  Returns (P, row_perm, sm, plan_bytes, tm, order_kind,
-    tk) or None when no candidate passes admission."""
+    tk, modelled cost in µs) or None when no candidate passes
+    admission."""
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     tms = (tm,) if isinstance(tm, int) else tuple(tm)
@@ -351,7 +352,8 @@ def _geometry_search(rows, cols, m: int, k: int, tm, tk: int,
     best = min(entries, key=lambda e: e[0])
     if base is not None and best[0] >= base[0] * 0.97:
         best = base
-    return best[1], best[2], best[3], best[4], best[5], best[6], best[7]
+    return (best[1], best[2], best[3], best[4], best[5], best[6], best[7],
+            best[0])
 
 
 def choose_row_order(rows, cols, m: int, k: int, tm: int = 8,
@@ -639,8 +641,12 @@ def _geom_disk_key(a, key: tuple, th: dict) -> str:
 
 
 PanelGeometry = collections.namedtuple(
-    "PanelGeometry", "panel_strips row_perm sm plan_bytes tm order_kind tk",
-    defaults=(8, "natural", 128))
+    "PanelGeometry",
+    "panel_strips row_perm sm plan_bytes tm order_kind tk cost_us",
+    defaults=(8, "natural", 128, None))
+# cost_us: the search's modelled serve time — comparable with a
+# PairGeometry's (same constants/units), which is how the heuristic
+# dispatch picks between the two kernel families without a measurement.
 
 
 def resolve_panel_geometry(a, n_pad: int = 256, tm: int | None = None,
@@ -704,7 +710,8 @@ def resolve_panel_geometry(a, n_pad: int = 256, tm: int | None = None,
                                          entry["order"]))
                 geom = PanelGeometry(int(entry["p"]), perm, int(entry["sm"]),
                                      int(entry["plan_bytes"]),
-                                     int(entry["tm"]), entry["order"], e_tk)
+                                     int(entry["tm"]), entry["order"], e_tk,
+                                     entry.get("cost"))
             except Exception:
                 geom = "search"  # malformed entry — redo the search
         if geom != "search":
@@ -744,7 +751,8 @@ def resolve_panel_geometry(a, n_pad: int = 256, tm: int | None = None,
     _geom_disk_store(dkey, None if geom is None else {
         "p": geom.panel_strips, "sm": int(geom.sm),
         "plan_bytes": int(geom.plan_bytes), "tm": int(geom.tm),
-        "order": geom.order_kind, "tk": int(geom.tk)})
+        "order": geom.order_kind, "tk": int(geom.tk),
+        "cost": None if geom.cost_us is None else float(geom.cost_us)})
     if cache is not None:
         cache[key] = geom
     return geom
