@@ -239,8 +239,9 @@ TM_CANDIDATES = (8, 16, 32)
 # call).  Exact plan bytes per candidate keep the tradeoff honest; on
 # the corpus tk=256 cuts steps 25-45% for +10-45% plan bytes, so the
 # cost model picks it only where the step/strip terms dominate the
-# bandwidth term.
-TK_CANDIDATES = (128, 256)
+# bandwidth term (tk=512 additionally wins on k-scattered rows:
+# large_21074 / medium_4096 / medium_2880 model 10-25% cheaper there).
+TK_CANDIDATES = (128, 256, 512)
 
 
 def _geometry_search(rows, cols, m: int, k: int, tm, tk: int,
