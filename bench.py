@@ -176,6 +176,12 @@ def _run(argv, degraded: bool = False) -> int:
         "correct": bool(correct),
         "backend": jax.default_backend(),
     }
+    if ranking and ranking[0].geom is not None:
+        # geometry provenance of the served kernel (tm/P/tk/sm/order/
+        # plan_mb for panel; CH/sm/tile_n/order/plan_mb for pair) — a
+        # regression in geometry resolution must be visible in the
+        # round-over-round headline, not only in ablation artifacts
+        record["geometry"] = ranking[0].geom
     if degraded:
         # CPU stand-in numbers: vs_baseline (ours vs vendor, same backend,
         # same window) stays meaningful; absolute GFLOP/s does not.

@@ -42,10 +42,15 @@ def summarize(records):
         # Gate misses from opt-in verified-only variants (split2 etc.) are
         # expected behaviour — the variant is only served after the gate
         # passes — so they are tallied separately, not as failures.
+        # Errored records (device fault / OOM: correct=="" + error field)
+        # are a third category: a RESOURCE_EXHAUSTED must never read as a
+        # numerics failure in the headline tally (VERDICT r3 weak #3).
         n_bad = sum(r.get("correct") == "0" and r.get("verifiedOnly") != "1"
                     for r in recs)
         n_vo_miss = sum(r.get("correct") == "0" and r.get("verifiedOnly") == "1"
                         for r in recs)
+        n_err = sum(r.get("correct", "") == "" and bool(r.get("error"))
+                    for r in recs)
         best = min(timed, key=lambda r: r["tpuKernelTimeMs"]) if timed else None
         vendor = next((r for r in timed if r.get("kernelType") == "-1"), None)
         rows.append({
@@ -54,6 +59,7 @@ def summarize(records):
             "records": len(recs),
             "incorrect": n_bad,
             "vo_miss": n_vo_miss,
+            "errored": n_err,
             "best_kernel": best.get("kernelName") or best.get("kernelType") if best else "-",
             "best_ms": round(best["tpuKernelTimeMs"], 3) if best else None,
             "gflops": round(best.get("gflops", 0), 2) if best else None,
@@ -84,8 +90,10 @@ def main(argv=None) -> int:
             print("| " + " | ".join(str(r[c]) for c in cols) + " |")
     total_bad = sum(r["incorrect"] for r in rows)
     total_vo = sum(r["vo_miss"] for r in rows)
+    total_err = sum(r["errored"] for r in rows)
     print(f"\n{len(rows)} groups, {total_bad} incorrect records total"
-          f" ({total_vo} verified-only gate misses, not served)",
+          f" ({total_vo} verified-only gate misses, not served;"
+          f" {total_err} errored — device fault, correctness unknown)",
           file=sys.stderr)
     return 0 if total_bad == 0 else 1
 

@@ -186,6 +186,32 @@ def test_runner_device_fault_aborts_engine(monkeypatch, small):
     assert not any(r.get("kernelType") == "-1" for r in records)
 
 
+def test_runner_fault_is_errored_not_incorrect(small):
+    """VERDICT r3 #3: an exception during a variant run (OOM, wedge) must
+    produce correct:"" + error — never correct:"0", which the reference
+    reserves for a completed allclose miss (spmm_csr_k1.cu:76-81) — and
+    summarize must tally it in its own `errored` column, not `incorrect`."""
+    from bench.summarize import summarize
+    from tpuspmm.engine.registry import Engine, KernelVariant
+    from tpuspmm.engine.runner import run_engine
+
+    a, b, _ = small
+
+    def boom(a_, b_, cfg):
+        raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    eng = Engine(fmt="csr", variants=[KernelVariant(1, "boom", boom)])
+    records = run_engine(eng, a, b, testcase="t", repeats=1, emit=False,
+                         run_vendor=False)
+    rec = next(r for r in records if r["kernelName"] == "boom")
+    assert rec["correct"] == "", rec
+    assert "RESOURCE_EXHAUSTED" in rec["error"]
+    rows = summarize(records)
+    row = next(r for r in rows if r["testcase"] == "t")
+    assert row["errored"] == 1
+    assert row["incorrect"] == 0
+
+
 def test_autotune_picks_and_caches(small):
     from tpuspmm.engine import autotune
 
@@ -216,6 +242,84 @@ def test_autotune_excludes_gate_failing_variants():
         out = np.asarray(engine.run_kernel(r.number, a, b, cfg))
         assert allclose(out, ref, 1e-2, 1e-3), (
             f"tune ranked a gate-failing variant: {r.variant_name}")
+
+
+def test_autotune_measures_geometry_candidates_and_pins():
+    """tune() must measure the cost model's top panel/pair geometry
+    candidates on device and PIN the measured winner, so serving
+    dispatches what measured fastest, not what the model guessed
+    (VERDICT r3 #1: the round-3 driver served a 0.141 ms geometry while
+    the model's own #2 candidate measured 0.064 ms on the same chip).
+    The ranking entries must carry geometry provenance for the bench
+    record (weak #7)."""
+    from tpuspmm.config import default_config
+    from tpuspmm.engine import autotune
+    from tpuspmm.kernels import panel_spmm
+    from tpuspmm.kernels.common import round_up
+
+    a = CSR.random(256, 384, 0.08, seed=21)
+    b = np.random.default_rng(3).standard_normal((384, 64)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    cfg = default_config()
+    ranking = autotune.tune(a, b, iters=1, use_disk_cache=False)
+    by_name = {r.variant_name: r for r in ranking}
+    for name, family in autotune._GEOM_FAMILIES.items():
+        r = by_name.get(name)
+        if r is not None:
+            assert r.geom is not None and r.geom["family"] == family, name
+    panel_entry = by_name.get("pallas_panel")
+    assert panel_entry is not None, "panel variant missing from ranking"
+    # the measured winner is pinned: the serving-path resolver key now
+    # returns exactly the geometry the ranking's ms was measured at
+    n_pad = round_up(b.shape[1], 128)
+    g = panel_spmm.resolve_panel_geometry(
+        a, n_pad, panel_strips=cfg.panel_strips,
+        budget_bytes=cfg.vmem_budget_bytes,
+        plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP)
+    assert (g.tm, g.panel_strips, g.tk, g.order_kind) == (
+        panel_entry.geom["tm"], panel_entry.geom["P"],
+        panel_entry.geom["tk"], panel_entry.geom["order"])
+    out = np.asarray(tpuspmm.spmm(a, b, method="tuned"))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_geometry_candidates_lead_with_resolver_pick():
+    """Candidate #0 of the enumerators must be the plain resolver's
+    hysteresis winner — so a K=1 sweep degenerates to exactly the old
+    behaviour — and candidates must be distinct geometries."""
+    from tpuspmm.kernels import pair_spmm, panel_spmm
+    from tpuspmm.kernels.common import round_up
+
+    a = CSR.random(512, 640, 0.04, seed=33)
+    n_pad = round_up(96, 128)
+    budget = 8 * 1024 * 1024
+    cands = panel_spmm.resolve_panel_geometry_candidates(
+        a, n_pad, k=3, budget_bytes=budget,
+        plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP)
+    assert cands, "no panel candidates"
+    plain = panel_spmm.resolve_panel_geometry(
+        a, n_pad, budget_bytes=budget,
+        plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP)
+    g0 = cands[0]
+    assert (g0.tm, g0.panel_strips, g0.tk, g0.sm, g0.order_kind) == (
+        plain.tm, plain.panel_strips, plain.tk, plain.sm, plain.order_kind)
+    idents = [(g.tm, g.panel_strips, g.tk, g.sm, g.order_kind)
+              for g in cands]
+    assert len(set(idents)) == len(idents)
+
+    pcands = pair_spmm.resolve_pair_geometry_candidates(
+        a, n_pad, k=3, budget_bytes=budget,
+        plan_bytes_cap=pair_spmm.PLAN_BYTES_CAP)
+    assert pcands, "no pair candidates"
+    pplain = pair_spmm.resolve_pair_geometry(
+        a, n_pad, budget_bytes=budget,
+        plan_bytes_cap=pair_spmm.PLAN_BYTES_CAP)
+    p0 = pcands[0]
+    assert (p0.sm, p0.chunk_strips, p0.tile_n, p0.order_kind) == (
+        pplain.sm, pplain.chunk_strips, pplain.tile_n, pplain.order_kind)
+    pidents = [(g.sm, g.chunk_strips, g.tile_n, g.order_kind)
+               for g in pcands]
+    assert len(set(pidents)) == len(pidents)
 
 
 def test_tuned_serving_skips_verified_only_by_default():
@@ -350,8 +454,12 @@ def test_autotune_budget_and_resume(tmp_path, monkeypatch):
     assert set(entry["done"]) <= set(entry2["done"])
     # + 2: the resume re-anchors the stored ranking by re-measuring the
     # anchor variant once, and the vendor baseline competes as an extra
-    # candidate beyond num_kernels
-    assert len(measured) <= get_engine("csr").num_kernels - n_done_1 + 2
+    # candidate beyond num_kernels.  The panel and pair family sweeps
+    # measure up to GEOM_CANDIDATES_K geometries each (one sweep per
+    # family), adding up to K-1 extra measurements per family.
+    budget = (get_engine("csr").num_kernels - n_done_1 + 2
+              + 2 * (autotune.GEOM_CANDIDATES_K - 1))
+    assert len(measured) <= budget
     # a third call serves the completed entry with zero measurements
     measured.clear()
     a3 = CSR(a.indptr, a.indices, a.values, a.shape)

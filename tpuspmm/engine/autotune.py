@@ -39,6 +39,11 @@ class TuneResult:
     # (the tune-time gate pass proves nothing about future operands of
     # the same width)
     verified_only: bool = False
+    # geometry provenance for panel/pair-family variants: the measured-
+    # best candidate's (tm, P, tk, sm, order, plan_mb) / (CH, sm,
+    # tile_n, order, plan_mb) — carried into bench records so a
+    # regression in geometry resolution is visible round-over-round
+    geom: Optional[dict] = None
 
 
 def _config_fp(config=None) -> str:
@@ -155,7 +160,11 @@ def _disk_key(a, b, config=None) -> str:
     # v3: entries carry the Config fingerprint (a ranking verified under
     # one precision/geometry must not be served under another) and a
     # done/complete resume ledger; v1/v2 entries never match a v3 key.
-    return (f"v3:{matrix_digest(a)}:{a.format_name}:n{int(np.shape(b)[1])}"
+    # v4: panel/pair-family entries were measured over the model's top
+    # geometry CANDIDATES and carry the pinned winner's provenance — a
+    # v3 entry's ms is the model's single resolved pick (round 3 showed
+    # it can be 2.2x off the measured-best), so it must not be served.
+    return (f"v4:{matrix_digest(a)}:{a.format_name}:n{int(np.shape(b)[1])}"
             f":{detect_chip()}:e{_engine_rev(a.format_name)}"
             f":c{_config_fp(config)}")
 
@@ -172,7 +181,8 @@ def _disk_load(key: str) -> Optional[Tuple[List[TuneResult], Set[str], bool]]:
         if entry is None:
             return None
         results = [TuneResult(e["variant_name"], e["number"], e["ms"],
-                              e.get("verified_only", False))
+                              e.get("verified_only", False),
+                              e.get("geom"))
                    for e in entry["results"]]
         return results, set(entry.get("done", [])), bool(entry.get("complete"))
     except Exception:
@@ -199,6 +209,135 @@ def _disk_store(key: str, results: List[TuneResult], done: Set[str],
         os.replace(tmp, path)  # atomic — a killed run never truncates it
     except Exception:
         pass  # the disk cache is best-effort
+
+
+# ---------------------------------------------------------------------------
+# geometry-candidate measurement for the panel/pair kernel families
+# ---------------------------------------------------------------------------
+# The geometry resolvers pick by a fitted cost model whose residual RMS
+# (~0.12 ms, results/panel_model_fit.json) is comparable to the spread
+# between its top picks — round 3's driver served a 0.141 ms geometry
+# while the model's own #2 candidate measured 0.064 ms on the same chip.
+# So tune() measures the model's top-K candidates per family variant and
+# PINS the measured winner (container + disk geometry cache): serving
+# must dispatch what was measured fastest, not what was modelled fastest.
+
+_GEOM_FAMILIES = {
+    "pallas_panel": "panel", "pallas_panel_split": "panel",
+    "pallas_pair": "pair", "pallas_pair_split": "pair",
+}
+GEOM_CANDIDATES_K = 3
+
+
+def _geom_candidates(family: str, a, b, config, k: int = GEOM_CANDIDATES_K):
+    from tpuspmm.kernels.common import round_up
+
+    n_pad = round_up(int(np.shape(b)[1]), 128)
+    if family == "panel":
+        from tpuspmm.kernels import panel_spmm
+
+        return panel_spmm.resolve_panel_geometry_candidates(
+            a, n_pad, k=k, panel_strips=config.panel_strips,
+            budget_bytes=config.vmem_budget_bytes,
+            plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP)
+    from tpuspmm.kernels import pair_spmm
+
+    return pair_spmm.resolve_pair_geometry_candidates(
+        a, n_pad, k=k, budget_bytes=config.vmem_budget_bytes,
+        plan_bytes_cap=pair_spmm.PLAN_BYTES_CAP)
+
+
+def _pin_geom(family: str, a, geom, b, config) -> None:
+    """Pin ``geom`` under exactly the resolver key the registry serving
+    path uses (spmm_panel/spmm_pair with the Config budget and the
+    module PLAN_BYTES_CAP)."""
+    from tpuspmm.kernels.common import round_up
+
+    n_pad = round_up(int(np.shape(b)[1]), 128)
+    if family == "panel":
+        from tpuspmm.kernels import panel_spmm
+
+        panel_spmm.pin_panel_geometry(
+            a, geom, n_pad=n_pad, panel_strips=config.panel_strips,
+            budget_bytes=config.vmem_budget_bytes,
+            plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP)
+    else:
+        from tpuspmm.kernels import pair_spmm
+
+        pair_spmm.pin_pair_geometry(
+            a, geom, n_pad=n_pad, budget_bytes=config.vmem_budget_bytes,
+            plan_bytes_cap=pair_spmm.PLAN_BYTES_CAP)
+
+
+def _geom_record(family: str, geom) -> dict:
+    """Provenance dict for records (BENCH geometry field, VERDICT r3
+    weak #7)."""
+    if family == "panel":
+        return {"family": "panel", "tm": int(geom.tm),
+                "P": int(geom.panel_strips), "tk": int(geom.tk),
+                "sm": int(geom.sm), "order": geom.order_kind,
+                "plan_mb": round(geom.plan_bytes / 1e6, 2)}
+    return {"family": "pair", "CH": int(geom.chunk_strips),
+            "sm": int(geom.sm), "tile_n": int(geom.tile_n),
+            "order": geom.order_kind,
+            "plan_mb": round(geom.plan_bytes / 1e6, 2)}
+
+
+def _measure_family(family, variant, a, b_dev, config, ref, iters,
+                    verbose):
+    """Pin + measure each of the model's top geometry candidates for a
+    panel/pair-family variant; PIN the measured winner so serving
+    dispatches it, and return (winner ms, geometry provenance dict).
+
+    Returns (None, None) when every candidate deterministically fails
+    the correctness gate (exclude the variant); re-raises the last
+    exception when every candidate faulted (transient — a future resume
+    must retry, mirroring tune()'s per-variant policy)."""
+    from tpuspmm.utils.compare import allclose
+    from tpuspmm.utils.timing import device_time_ms
+
+    cands = _geom_candidates(family, a, b_dev, config)
+    if not cands:
+        # admission said yes but the enumerator found nothing (stale
+        # pinned/disk geometry) — fall back to the plain resolved path
+        out = variant.fn(a, b_dev, config)
+        if ref is not None and not allclose(
+                np.asarray(out), ref, config.rel_tol, config.abs_tol):
+            return None, None
+        return device_time_ms(lambda bb: variant.fn(a, bb, config),
+                              b_dev, iters=iters), None
+    best = None  # (ms, geom)
+    gate_failed = 0
+    last_exc = None
+    for g in cands:
+        try:
+            _pin_geom(family, a, g, b_dev, config)
+            out = variant.fn(a, b_dev, config)  # warm/compile this geometry
+            if ref is not None and not allclose(
+                    np.asarray(out), ref, config.rel_tol, config.abs_tol):
+                gate_failed += 1
+                continue
+            ms = device_time_ms(lambda bb: variant.fn(a, bb, config),
+                                b_dev, iters=iters)
+        except Exception as e:
+            last_exc = e
+            continue
+        if verbose:
+            print(f"# tune: {variant.name} candidate "
+                  f"{_geom_record(family, g)}: {ms:.3f} ms")
+        if best is None or ms < best[0]:
+            best = (ms, g)
+    if best is None:
+        if gate_failed:
+            return None, None  # deterministic numerics failure — exclude
+        if last_exc is not None:
+            raise last_exc  # every candidate faulted — retry on resume
+        return None, None
+    # the winner must be what serving resolves, in THIS process (container
+    # cache) and every later one (geometry disk cache) — measurement may
+    # have left a slower candidate pinned
+    _pin_geom(family, a, best[1], b_dev, config)
+    return best[0], _geom_record(family, best[1])
 
 
 def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
@@ -293,6 +432,15 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
     candidates = list(engine.variants)
     if engine.supports_vendor:
         candidates.append(_vendor_variant())
+    # one geometry-candidate sweep per panel/pair family per tune pass:
+    # the first family variant measured sweeps + pins; its sibling (the
+    # split tier shares the plan and geometry ordering) serves the pinned
+    # winner.  Seed from resumed results so a resume doesn't re-sweep.
+    family_geom = {}
+    for r in results:
+        fam = _GEOM_FAMILIES.get(r.variant_name)
+        if fam is not None and r.geom is not None:
+            family_geom.setdefault(fam, r.geom)
     for variant in candidates:
         if variant.name in done:
             continue
@@ -307,18 +455,36 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
             done.add(variant.name)  # deterministic — safe to persist
             continue
         attempted += 1
+        family = _GEOM_FAMILIES.get(variant.name)
+        geom_rec = None
         try:
-            out = variant.fn(a, b_dev, config)  # warm caches/compile
-            if ref is not None and not allclose(
-                    np.asarray(out), ref, config.rel_tol, config.abs_tol):
-                if verbose:
-                    print(f"# tune: {variant.name} failed the gate; excluded")
-                done.add(variant.name)  # deterministic numerics — persist
-                if persist:
-                    _disk_store(dkey, results, done, complete=False)
-                continue
-            ms = device_time_ms(lambda bb, v=variant: v.fn(a, bb, config),
-                                b_dev, iters=iters)
+            if family is not None and family not in family_geom:
+                ms, geom_rec = _measure_family(family, variant, a, b_dev,
+                                               config, ref, iters, verbose)
+                if ms is None:
+                    if verbose:
+                        print(f"# tune: {variant.name} failed the gate; "
+                              "excluded")
+                    done.add(variant.name)  # deterministic — persist
+                    if persist:
+                        _disk_store(dkey, results, done, complete=False)
+                    continue
+                if geom_rec is not None:
+                    family_geom[family] = geom_rec
+            else:
+                geom_rec = family_geom.get(family) if family else None
+                out = variant.fn(a, b_dev, config)  # warm caches/compile
+                if ref is not None and not allclose(
+                        np.asarray(out), ref, config.rel_tol, config.abs_tol):
+                    if verbose:
+                        print(f"# tune: {variant.name} failed the gate; "
+                              "excluded")
+                    done.add(variant.name)  # deterministic numerics — persist
+                    if persist:
+                        _disk_store(dkey, results, done, complete=False)
+                    continue
+                ms = device_time_ms(lambda bb, v=variant: v.fn(a, bb, config),
+                                    b_dev, iters=iters)
         except Exception as e:
             if verbose:
                 print(f"# tune: {variant.name} failed: {type(e).__name__}: {e}")
@@ -328,7 +494,7 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
             continue
         done.add(variant.name)
         results.append(TuneResult(variant.name, variant.number, round(ms, 4),
-                                  bool(variant.verified_only)))
+                                  bool(variant.verified_only), geom_rec))
         if persist:
             _disk_store(dkey, results, done, complete=False)
         if verbose:

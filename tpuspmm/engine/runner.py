@@ -141,9 +141,14 @@ def run_engine(
                 extra=extra, **common,
             )
         except Exception as e:  # record failures instead of aborting the sweep
+            # correct stays "" (unknown): a device fault (RESOURCE_EXHAUSTED,
+            # tunnel wedge) is NOT a numerics failure — the reference only
+            # writes its correct field after a completed allclose
+            # (spmm_csr_k1.cu:76-81), and summarize.py tallies errored
+            # records in their own column (VERDICT r3 weak #3)
             rec = report_mod.make_record(
                 kernel_type=variant.number, kernel_name=variant.name,
-                correct=False, extra={"error": f"{type(e).__name__}: {e}"}, **common,
+                extra={"error": f"{type(e).__name__}: {e}"}, **common,
             )
             if "UNAVAILABLE" in str(e):
                 # device fault poisons the client — every later call would
@@ -172,9 +177,10 @@ def run_engine(
                        "vendorLowering": vendor.last_lowering(a)}, **common,
             )
         except Exception as e:
+            # fault, not falsehood — same policy as the variant loop above
             rec = report_mod.make_record(
                 kernel_type=-1, kernel_name="jax_sparse_bcoo",
-                correct=False, extra={"error": f"{type(e).__name__}: {e}"}, **common,
+                extra={"error": f"{type(e).__name__}: {e}"}, **common,
             )
         records.append(rec)
 

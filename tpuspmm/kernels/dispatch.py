@@ -41,50 +41,50 @@ _CHIP_THRESHOLDS = {
     # per-grid-step overhead, EFFECTIVE plan-stream bandwidth (well below
     # HBM peak — the plan interleaves with B-tile refetches and the
     # output-scatter slices), and the effective bandwidth of the XLA row
-    # gather that un-permutes a row-reordered output.  v5e values fitted
-    # to the corpus P-sweep (large_25605/21074/20000 at P∈{8,16,32,64};
-    # model picks match the measured winners on all three) and a direct
-    # m=20000 row-gather measurement (0.107 ms ⇒ ~383 GB/s; 300 kept as
-    # margin).  v5p/v4 bandwidths scaled by nominal HBM ratio; step
-    # overhead kept (fixed per-step cost, not bandwidth-bound).
-    # panel_strip_us charges the per-panel serial chain of P dynamic-slice
-    # output RMWs (one per strip) that the round-2 decomposition named as
-    # the 2x-to-floor bottleneck; 0.01 µs/strip is EXTRAPOLATED from that
-    # decomposition (156 µs serve - 85 µs traffic floor - 34 µs step cost
-    # over 8880 strips ≈ 0.004-0.01), NOT yet fitted on-chip — refit with
-    # bench/ablate_panel.py --tm when the chip is reachable.  v5p/v4
-    # rows copy the v5e estimate (same caveat).
+    # gather that un-permutes a row-reordered output.  v5e step/strip/HBM
+    # values are the round-3 least-squares FIT over 28 on-chip panel
+    # serve records (bench/fit_panel_model.py →
+    # results/panel_model_fit.json: step 0.1334 µs, strip 0.00058 µs,
+    # 251 GB/s; residual RMS 0.123 ms on 0.06–1.0 ms serves — the fit is
+    # coarse, which is why autotune measures the model's top geometry
+    # candidates rather than trusting the single resolved pick).  The
+    # gather term was not identifiable from those records; 300 GB/s kept
+    # from the direct m=20000 row-gather measurement (0.107 ms ⇒
+    # ~383 GB/s; 300 as margin).  v5p/v4 bandwidths scale the FITTED v5e
+    # row by nominal HBM ratio (×3 / ×1.5); step and strip costs copied
+    # (fixed per-step/per-RMW costs, not bandwidth-bound) — refit when
+    # that hardware is in the loop.
     "v5e": {"densify_max_bytes": 128 * 1024 * 1024,
             "densify_min_density": 0.004,
             "tile_min_nnz_per_chunk": 40.0,
             "panel_max_plan_bytes": 128 * 1024 * 1024,
-            "panel_step_us": 0.17,
-            "panel_strip_us": 0.01,
-            "panel_hbm_gbps": 250.0,
+            "panel_step_us": 0.1334,
+            "panel_strip_us": 0.00058,
+            "panel_hbm_gbps": 251.0,
             "panel_gather_gbps": 300.0},
     "v5p": {"densify_max_bytes": 256 * 1024 * 1024,
             "densify_min_density": 0.003,
             "tile_min_nnz_per_chunk": 32.0,
             "panel_max_plan_bytes": 256 * 1024 * 1024,
-            "panel_step_us": 0.17,
-            "panel_strip_us": 0.01,
-            "panel_hbm_gbps": 750.0,
+            "panel_step_us": 0.1334,
+            "panel_strip_us": 0.00058,
+            "panel_hbm_gbps": 753.0,
             "panel_gather_gbps": 900.0},
     "v4": {"densify_max_bytes": 128 * 1024 * 1024,
            "densify_min_density": 0.004,
            "tile_min_nnz_per_chunk": 36.0,
            "panel_max_plan_bytes": 128 * 1024 * 1024,
-           "panel_step_us": 0.17,
-           "panel_strip_us": 0.01,
-           "panel_hbm_gbps": 375.0,
+           "panel_step_us": 0.1334,
+           "panel_strip_us": 0.00058,
+           "panel_hbm_gbps": 377.0,
            "panel_gather_gbps": 450.0},
     "cpu": {"densify_max_bytes": 128 * 1024 * 1024,
             "densify_min_density": 0.004,
             "tile_min_nnz_per_chunk": 40.0,
             "panel_max_plan_bytes": 128 * 1024 * 1024,
-            "panel_step_us": 0.17,
-            "panel_strip_us": 0.01,
-            "panel_hbm_gbps": 250.0,
+            "panel_step_us": 0.1334,
+            "panel_strip_us": 0.00058,
+            "panel_hbm_gbps": 251.0,
             "panel_gather_gbps": 300.0},
 }
 

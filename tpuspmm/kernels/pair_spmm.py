@@ -406,6 +406,58 @@ def pick_supertile_rows_pair(m_pad: int, tile_n: int, tm: int, tk: int,
     return min(sm, m_pad)
 
 
+def _pair_search(m_pad, n_pad, tm, tk, nkt, strip_bytes, bw, step_us,
+                 strip_us, perm_us, orders, order_kinds, groups, cnt_cache,
+                 budget_bytes, plan_bytes_cap, chunk_strips):
+    """The (tile_n, CH, order, supertiling) sweep of the pair cost model
+    — shared by the winner resolver and the candidate enumerator.
+    Returns (best, entries): ``best`` applies the resolver's 3%-win
+    hysteresis in iteration order (CH 64→8, so ties keep the larger,
+    fewer-steps chunk); ``entries`` is every admissible candidate at the
+    winning tile width as (cost, perm, plan_bytes, sm, ch, tile_n,
+    order_kind) tuples."""
+    ch_candidates = ((chunk_strips,) if chunk_strips is not None
+                     else (64, 32, 16, 8))
+    tile_candidates = [d * 128 for d in range(n_pad // 128, 0, -1)
+                       if n_pad % (d * 128) == 0]
+    best = None
+    entries = []
+    for tile_n in tile_candidates:
+        n_nt = n_pad // tile_n
+        for ch in ch_candidates:
+            if budget_bytes is None:
+                sm = m_pad
+            else:
+                sm = pick_supertile_rows_pair(m_pad, tile_n, tm, tk,
+                                              budget_bytes, chunk_strips=ch)
+                if sm is None:
+                    continue
+            st_div = max(1, sm // tm)
+            n_st = max(1, -(-m_pad // sm))
+            for oi, (perm, prows) in enumerate(orders):
+                ckey = (oi, st_div)
+                if ckey not in cnt_cache:
+                    cnt_cache[ckey] = _st_strip_counts_from_groups(
+                        groups[oi], nkt, st_div)
+                cnt, occ_st = cnt_cache[ckey]
+                strips = int(cnt.sum())
+                steps = (int(np.sum(-(-cnt // ch))) + (n_st - occ_st))
+                plan_bytes = strips * strip_bytes
+                if (plan_bytes_cap is not None
+                        and plan_bytes > plan_bytes_cap):
+                    continue
+                cost = (n_nt * steps
+                        * (step_us + ch * (strip_bytes / bw + strip_us))
+                        + (perm_us if perm is not None else 0.0))
+                entries.append((cost, perm, plan_bytes, sm, ch, tile_n,
+                                order_kinds[oi]))
+                if best is None or cost < best[0] * 0.97:
+                    best = entries[-1]
+        if best is not None:
+            break  # widest admissible tile wins; narrower only re-streams
+    return best, entries
+
+
 PairGeometry = dataclasses.make_dataclass(
     "PairGeometry", ["row_perm", "sm", "chunk_strips", "plan_bytes",
                      "tile_n", ("order_kind", str, dataclasses.field(
@@ -413,6 +465,102 @@ PairGeometry = dataclasses.make_dataclass(
                      ("cost_us", object, dataclasses.field(default=None))])
 # cost_us: the search's modelled serve time, same constants/units as
 # PanelGeometry.cost_us — the heuristic dispatch compares the two.
+
+
+def _pair_model_inputs(a, coo, rows, cols, m, k, n_pad, tm, tk,
+                       reorder_rows, th):
+    """Positional `_pair_search` model inputs (everything before the
+    admission caps) — shared by the winner resolver and the candidate
+    enumerator so the two can never price a geometry differently."""
+    ktile = cols // tk
+    val_bytes = (2 if plan_values_bf16_exact_cached(a, rows, cols,
+                                                    coo.values, k) else 4)
+    strip_bytes = tm * tk * val_bytes
+    bw = th.get("panel_hbm_gbps", 250.0) * 1e3
+    step_us = th.get("panel_step_us", 0.17)
+    strip_us = th.get("panel_strip_us", 0.0)
+    perm_us = (m * n_pad * 4 * 2
+               / (th.get("panel_gather_gbps", 300.0) * 1e3))
+
+    m_pad = round_up(max(m, tm), tm)
+    nkt = max(1, -(-k // tk))
+
+    orders = [(None, rows)]
+    order_kinds = ["natural"]
+    if reorder_rows and len(rows) and m > tm:
+        for kind, perm in zip(ORDER_KINDS,
+                              _order_candidates(rows, cols, m, ktile)):
+            inv = np.empty(m, np.int64)
+            inv[perm] = np.arange(m)
+            orders.append((perm, inv[rows]))
+            order_kinds.append(kind)
+    # nnz-sized unique pass once per order; regroupings run on the small
+    # group arrays (mirrors the panel search)
+    groups = [_occupied_strip_groups(prows, ktile, nkt, tm)
+              for _, prows in orders]
+    return (m_pad, n_pad, tm, tk, nkt, strip_bytes, bw, step_us, strip_us,
+            perm_us, orders, order_kinds, groups, {})
+
+
+def resolve_pair_geometry_candidates(a, n_pad: int = 256, k: int = 3,
+                                     tm: int = 8, tk: int = 128,
+                                     reorder_rows: bool = True,
+                                     budget_bytes: int | None = None,
+                                     plan_bytes_cap: int | None = None):
+    """The model's top-``k`` distinct pair geometries (cheapest first,
+    the plain resolver's hysteresis winner leading) — the pair-family
+    counterpart of panel_spmm.resolve_panel_geometry_candidates.  The
+    round-3 CH ablation showed the measured-best chunk beat the model's
+    resolved pick on 3 of 5 matrices (results/ablate_pair.jsonl:
+    large_15120 0.0411 ms at CH=32 vs 0.0573 resolved), so the
+    autotuner measures these instead of trusting the single pick."""
+    from tpuspmm.kernels.dispatch import thresholds
+    from tpuspmm.ops.xla import coo_view
+
+    coo = coo_view(a)
+    m, kk = coo.shape
+    rows = np.asarray(coo.rows, np.int64)
+    cols = np.asarray(coo.cols, np.int64)
+    best, entries = _pair_search(
+        *_pair_model_inputs(a, coo, rows, cols, m, kk, n_pad, tm, tk,
+                            reorder_rows, thresholds()),
+        budget_bytes, plan_bytes_cap, None)
+    if best is None:
+        return []
+    seen, out = set(), []
+    for e in [best] + sorted(entries, key=lambda e: e[0]):
+        ident = (e[3], e[4], e[5], e[6])  # sm, ch, tile_n, order
+        if ident in seen:
+            continue
+        seen.add(ident)
+        out.append(PairGeometry(e[1], e[3], e[4], e[2], e[5], e[6],
+                                float(e[0])))
+        if len(out) >= k:
+            break
+    return out
+
+
+def pin_pair_geometry(a, geom, n_pad: int = 256, tm: int = 8,
+                      tk: int = 128, reorder_rows: bool = True,
+                      budget_bytes: int | None = None,
+                      plan_bytes_cap: int | None = None,
+                      chunk_strips: int | None = None) -> None:
+    """Record ``geom`` as THE resolved pair geometry for these resolver
+    args (container + disk cache) — see panel_spmm.pin_panel_geometry."""
+    from tpuspmm.engine.report import detect_chip
+    from tpuspmm.kernels.dispatch import thresholds
+
+    key = ("pair_geom", detect_chip(initialize=False), tm, tk,
+           reorder_rows, n_pad, budget_bytes, plan_bytes_cap, chunk_strips)
+    cache = _container_cache(a)
+    if cache is not None:
+        cache[key] = geom
+    dkey = _geom_disk_key(a, key, thresholds())
+    _geom_disk_store(dkey, None if geom is None else {
+        "sm": int(geom.sm), "ch": int(geom.chunk_strips),
+        "plan_bytes": int(geom.plan_bytes), "tile_n": int(geom.tile_n),
+        "order": geom.order_kind,
+        "cost": None if geom.cost_us is None else float(geom.cost_us)})
 
 
 def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
@@ -479,70 +627,10 @@ def resolve_pair_geometry(a, n_pad: int = 256, tm: int = 8, tk: int = 128,
                 cache[key] = geom
             return geom
 
-    val_bytes = (2 if plan_values_bf16_exact_cached(a, rows, cols,
-                                                    coo.values, k) else 4)
-    strip_bytes = tm * tk * val_bytes
-    bw = th.get("panel_hbm_gbps", 250.0) * 1e3
-    step_us = th.get("panel_step_us", 0.17)
-    strip_us = th.get("panel_strip_us", 0.0)
-    perm_us = (m * n_pad * 4 * 2
-               / (th.get("panel_gather_gbps", 300.0) * 1e3))
-
-    m_pad = round_up(max(m, tm), tm)
-    nkt = max(1, -(-k // tk))
-
-    orders = [(None, rows)]
-    order_kinds = ["natural"]
-    if reorder_rows and len(rows) and m > tm:
-        for kind, perm in zip(ORDER_KINDS,
-                              _order_candidates(rows, cols, m, ktile)):
-            inv = np.empty(m, np.int64)
-            inv[perm] = np.arange(m)
-            orders.append((perm, inv[rows]))
-            order_kinds.append(kind)
-    # nnz-sized unique pass once per order; regroupings run on the small
-    # group arrays (mirrors the panel search)
-    groups = [_occupied_strip_groups(prows, ktile, nkt, tm)
-              for _, prows in orders]
-    cnt_cache = {}
-
-    ch_candidates = ((chunk_strips,) if chunk_strips is not None
-                     else (64, 32, 16, 8))
-    tile_candidates = [d * 128 for d in range(n_pad // 128, 0, -1)
-                       if n_pad % (d * 128) == 0]
-    best = None
-    for tile_n in tile_candidates:
-        n_nt = n_pad // tile_n
-        for ch in ch_candidates:
-            if budget_bytes is None:
-                sm = m_pad
-            else:
-                sm = pick_supertile_rows_pair(m_pad, tile_n, tm, tk,
-                                              budget_bytes, chunk_strips=ch)
-                if sm is None:
-                    continue
-            st_div = max(1, sm // tm)
-            n_st = max(1, -(-m_pad // sm))
-            for oi, (perm, prows) in enumerate(orders):
-                ckey = (oi, st_div)
-                if ckey not in cnt_cache:
-                    cnt_cache[ckey] = _st_strip_counts_from_groups(
-                        groups[oi], nkt, st_div)
-                cnt, occ_st = cnt_cache[ckey]
-                strips = int(cnt.sum())
-                steps = (int(np.sum(-(-cnt // ch))) + (n_st - occ_st))
-                plan_bytes = strips * strip_bytes
-                if (plan_bytes_cap is not None
-                        and plan_bytes > plan_bytes_cap):
-                    continue
-                cost = (n_nt * steps
-                        * (step_us + ch * (strip_bytes / bw + strip_us))
-                        + (perm_us if perm is not None else 0.0))
-                if best is None or cost < best[0] * 0.97:
-                    best = (cost, perm, plan_bytes, sm, ch, tile_n,
-                            order_kinds[oi])
-        if best is not None:
-            break  # widest admissible tile wins; narrower only re-streams
+    best, entries = _pair_search(
+        *_pair_model_inputs(a, coo, rows, cols, m, k, n_pad, tm, tk,
+                            reorder_rows, th),
+        budget_bytes, plan_bytes_cap, chunk_strips)
     geom = (None if best is None
             else PairGeometry(best[1], best[3], best[4], best[2], best[5],
                               best[6], float(best[0])))
