@@ -38,6 +38,16 @@ def main(argv=None) -> int:
     p.add_argument("--skip-seq", action="store_true")
     p.add_argument("--no-vendor", action="store_true")
     p.add_argument("--out", default=None)
+    p.add_argument("--fresh", action="store_true",
+                   help="truncate --out instead of appending: regenerate "
+                        "the artifact in one generation (VERDICT r3 #2 — "
+                        "an appended-to JSONL accumulates stale duplicate "
+                        "groups from older registries)")
+    p.add_argument("--retries", type=int, default=2,
+                   help="per-(dir, format) retry budget on device faults "
+                        "(RESOURCE_EXHAUSTED / UNAVAILABLE): probe-wait "
+                        "for the TPU and re-run the group, so one fault "
+                        "doesn't zero a whole group")
     args = p.parse_args(argv)
 
     from tpuspmm.config import default_config
@@ -51,7 +61,17 @@ def main(argv=None) -> int:
             else sorted(d for d in os.listdir(args.data_root)
                         if os.path.isdir(os.path.join(args.data_root, d))))
     formats = args.formats.split(",")
-    out_stream = open(args.out, "a") if args.out else sys.stdout
+    out_stream = (open(args.out, "w" if args.fresh else "a")
+                  if args.out else sys.stdout)
+
+    def _group_faulted(records):
+        """True when the group died on a device fault (retryable) rather
+        than a numerics miss (deterministic)."""
+        return any(r.get("device_fault") == "1"
+                   or ("error" in r and any(
+                       s in r["error"] for s in
+                       ("RESOURCE_EXHAUSTED", "UNAVAILABLE", "INTERNAL")))
+                   for r in records)
 
     failures = 0
     verified_only_misses = 0
@@ -72,11 +92,21 @@ def main(argv=None) -> int:
                     continue
                 print(f"# {dirname} {fmt}: A {a.shape} nnz={a.nnz} N={b.shape[1]}",
                       file=sys.stderr)
-                records = run_engine(
-                    get_engine(fmt), a, b, testcase=dirname, config=config,
-                    skip_seq=args.skip_seq, run_vendor=not args.no_vendor,
-                    repeats=args.repeats, emit=False,
-                )
+                for attempt in range(args.retries + 1):
+                    records = run_engine(
+                        get_engine(fmt), a, b, testcase=dirname,
+                        config=config, skip_seq=args.skip_seq,
+                        run_vendor=not args.no_vendor,
+                        repeats=args.repeats, emit=False,
+                    )
+                    if not _group_faulted(records) or attempt == args.retries:
+                        break
+                    print(f"# {dirname} {fmt}: device fault — waiting for "
+                          f"the TPU and retrying "
+                          f"({attempt + 1}/{args.retries})", file=sys.stderr)
+                    from bench.await_tpu import await_tpu
+
+                    await_tpu(budget_s=600)
                 for rec in records:
                     report_mod.emit(rec, out_stream)
                     if rec.get("correct") == "0":
@@ -86,6 +116,15 @@ def main(argv=None) -> int:
                             verified_only_misses += 1
                         else:
                             failures += 1
+                del a, records
+            # drop the dir's containers (device plan arrays are cached on
+            # them) before the next dir — a 12-dir sweep otherwise
+            # accumulates plans in HBM until something RESOURCE_EXHAUSTs
+            # (the round-3 large_20000 group died exactly this way)
+            del b, dense
+            import gc
+
+            gc.collect()
     finally:
         if args.out:
             out_stream.close()

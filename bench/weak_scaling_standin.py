@@ -1,32 +1,37 @@
-"""Single-chip weak-scaling stand-in (VERDICT r2 #8).
+"""Single-chip weak-scaling stand-in (VERDICT r2 #8, r3 #4).
 
 Real multi-chip hardware is not reachable from this machine (one v5e via
 the axon tunnel), so true weak-scaling efficiency (BASELINE.json: >=75%
 on 2 hosts) cannot be measured yet.  This harness produces an honest
-single-chip stand-in artifact instead: partition A row-wise into
-1..N shards exactly as the row-sharded panel schedule would
-(tpuspmm/parallel/shard.py), run each shard's LOCAL panel kernel on the
-one real chip SEQUENTIALLY with chained device timing, and report
-per-shard nnz/s and the critical-path time (max shard time — what an
-ideal collective-free mesh would wait for).
+single-chip stand-in artifact instead, in two modes:
 
-What this does and does not show:
-- DOES: that per-shard device time shrinks ~linearly with the shard
-  count, i.e. the local kernel keeps its efficiency at per-shard problem
-  sizes (no VMEM cliff, no small-shard collapse) — a necessary
-  condition for weak scaling.
-- DOES NOT: include ICI collectives, cross-chip skew, or host overlap.
-  Efficiency numbers here are an upper bound on what hardware would
-  show for the collective-free row-sharded schedule, and say nothing
-  about the ring/reduce-scatter schedules.
+- ``--mode replicated`` (default) — the BASELINE config's actual shape:
+  "large_25605 replicated 8x" means every shard serves the FULL matrix
+  (constant per-shard work as the shard count grows).  Each of the N
+  shards runs the local kernel on the whole matrix sequentially on the
+  one chip; weak-scaling efficiency is t(1) / max_shard_time(N) — for an
+  ideal mesh the critical path stays flat, so this measures per-shard
+  time flatness (chip-state drift, cache effects), NOT small-shard
+  kernel degradation.
+- ``--mode strong`` — the round-3 behaviour, correctly labelled: A is
+  partitioned row-wise into N shrinking shards exactly as the
+  row-sharded panel schedule would (tpuspmm/parallel/shard.py), so the
+  per-shard problem SHRINKS with N.  Its efficiency number mixes
+  small-shard kernel degradation into the result and must be read as a
+  STRONG-scaling curve, not against the >=75% weak-scaling target.
 
-Prints one JSON line with the per-count records.  The REAL harness
+What neither mode shows: ICI collectives, cross-chip skew, host overlap.
+Efficiency numbers here are an upper bound on what hardware would show
+for the collective-free row-sharded schedule.
+
+Prints one JSON line per mode run.  The REAL harness
 (bench/weak_scaling.py) stays unchanged for when multi-chip exists.
 
 Usage::
 
     python -m bench.weak_scaling_standin [--case large_25605]
         [--width 256] [--counts 1,2,4,8] [--repeats 16] [--local panel]
+        [--mode replicated|strong]
 """
 
 from __future__ import annotations
@@ -45,6 +50,8 @@ def main(argv=None) -> int:
     p.add_argument("--counts", default="1,2,4,8")
     p.add_argument("--repeats", type=int, default=16)
     p.add_argument("--local", default="panel", choices=["panel", "pair"])
+    p.add_argument("--mode", default="replicated",
+                   choices=["replicated", "strong"])
     args = p.parse_args(argv)
 
     import jax
@@ -80,50 +87,74 @@ def main(argv=None) -> int:
         counts = [1] + counts
     t1 = None
     for n in counts:
-        m = a.shape[0]
-        m_local = -(-m // n)
         shard_ms = []
         correct = True
-        for s in range(n):
-            lo, hi = s * m_local, min((s + 1) * m_local, m)
-            if lo >= hi:
-                shard_ms.append(0.0)
-                continue
-            sub = CSR(indptr=(indptr[lo:hi + 1] - indptr[lo]).astype(np.int32),
-                      indices=np.asarray(a.indices[indptr[lo]:indptr[hi]]),
-                      values=np.asarray(a.values[indptr[lo]:indptr[hi]]),
-                      shape=(hi - lo, a.shape[1]))
-            fn = lambda bb, sub=sub: spmm_local(sub, bb)
-            out = np.asarray(fn(b_dev))
-            correct &= bool(allclose(out, ref[lo:hi], 1e-2, 1e-3))
-            shard_ms.append(timing.device_time_ms(fn, b_dev,
-                                                  iters=args.repeats))
+        if args.mode == "replicated":
+            # constant per-shard work: each of the n shards serves the
+            # FULL matrix (the BASELINE "replicated 8x" config) — an
+            # ideal mesh's critical path is flat in n
+            for s in range(n):
+                fn = lambda bb: spmm_local(a, bb)
+                out = np.asarray(fn(b_dev))
+                correct &= bool(allclose(out, ref, 1e-2, 1e-3))
+                shard_ms.append(timing.device_time_ms(fn, b_dev,
+                                                      iters=args.repeats))
+            nnz_per_shard = a.nnz
+        else:
+            m = a.shape[0]
+            m_local = -(-m // n)
+            for s in range(n):
+                lo, hi = s * m_local, min((s + 1) * m_local, m)
+                if lo >= hi:
+                    shard_ms.append(0.0)
+                    continue
+                sub = CSR(indptr=(indptr[lo:hi + 1]
+                                  - indptr[lo]).astype(np.int32),
+                          indices=np.asarray(
+                              a.indices[indptr[lo]:indptr[hi]]),
+                          values=np.asarray(
+                              a.values[indptr[lo]:indptr[hi]]),
+                          shape=(hi - lo, a.shape[1]))
+                fn = lambda bb, sub=sub: spmm_local(sub, bb)
+                out = np.asarray(fn(b_dev))
+                correct &= bool(allclose(out, ref[lo:hi], 1e-2, 1e-3))
+                shard_ms.append(timing.device_time_ms(fn, b_dev,
+                                                      iters=args.repeats))
+            nnz_per_shard = a.nnz / n
         total = float(sum(shard_ms))
         crit = float(max(shard_ms))
         if t1 is None:
-            t1 = total
-        # critical-path efficiency: ideal mesh finishes in max(shard);
-        # weak-scaling analogue of t(1) / (n * t_crit(n))
-        eff = t1 / (n * crit) if crit > 0 else 0.0
+            t1 = crit if args.mode == "replicated" else total
+        # replicated (weak): ideal mesh finishes in max(shard), and the
+        # per-shard work is constant, so eff = t(1) / t_crit(n).
+        # strong: eff = t(1) / (n * t_crit(n)) — the classic strong-
+        # scaling definition over shrinking shards.
+        if args.mode == "replicated":
+            eff = t1 / crit if crit > 0 else 0.0
+            eff_key = "replicated_weak_efficiency_upper_bound"
+        else:
+            eff = t1 / (n * crit) if crit > 0 else 0.0
+            eff_key = "strong_scaling_efficiency_upper_bound"
         rec = {"shards": n, "total_ms": round(total, 4),
                "critical_ms": round(crit, 4),
-               "per_shard_nnz_per_s": round(a.nnz / n / (crit / 1e3), 1)
-               if crit > 0 else None,
-               # UPPER bound on hardware weak-scaling efficiency: this
-               # harness excludes ICI collectives and skew, so real
-               # efficiency can only be lower (the name must match the
-               # caveat; review r3)
-               "standin_efficiency_upper_bound": round(eff, 4),
+               "per_shard_nnz_per_s": round(
+                   nnz_per_shard / (crit / 1e3), 1) if crit > 0 else None,
+               # UPPER bound on hardware efficiency: this harness
+               # excludes ICI collectives and skew, so real efficiency
+               # can only be lower (the name must match the caveat)
+               eff_key: round(eff, 4),
                "correct": correct}
         results.append(rec)
-        print(f"# n={n}: total {total:.3f} ms, crit {crit:.3f} ms, "
-              f"eff_ub={eff * 100:.1f}%", file=sys.stderr)
+        print(f"# n={n} [{args.mode}]: total {total:.3f} ms, "
+              f"crit {crit:.3f} ms, eff_ub={eff * 100:.1f}%",
+              file=sys.stderr)
 
     print(json.dumps({
         "harness": "single_chip_standin",
+        "mode": args.mode,
         "caveat": ("sequentialized shards on ONE chip; excludes ICI "
                    "collectives and skew — an upper bound on real "
-                   "weak-scaling efficiency, see module docstring"),
+                   "scaling efficiency, see module docstring"),
         "case": args.case, "width": args.width, "local": args.local,
         "backend": jax.default_backend(), "scaling": results}))
     return 0

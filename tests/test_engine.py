@@ -575,3 +575,47 @@ def test_timing_chain_lengthening_rule():
     assert _next_iters(device_ms=0.01, rtt_ms=60.0, iters=16) == 1920
     # negative net (total < RTT) still grows, bounded by the 0.5 ms floor
     assert _next_iters(device_ms=-3.0, rtt_ms=60.0, iters=16) == 16 * 120
+
+
+def test_split2_hazard_large_20000_never_served_by_default():
+    """VERDICT r3 #9: the round-3 pair ablation showed the split2 tier
+    SYSTEMATICALLY gate-fails on large_20000 under the resolved (row-
+    permuted) geometry — all 6 split2 records are correct:false
+    (results/ablate_pair.jsonl).  Mechanism: the matrix's values span
+    |v| up to ~1.04e5, so the dropped lo*lo term's ~2^-16*|a|*|b|
+    absolute error swamps small outputs, and the resolver's row
+    reordering clusters heavy rows into shared strips, changing the
+    accumulation's cancellation structure.  This test pins the two
+    defenses: (a) the split tiers gate-fail here (so tune() excludes
+    them from any ranking it verifies), and (b) they are registered
+    verified_only (so even a stale/unverified ranking can never serve
+    them through the default tuned path)."""
+    from tpuspmm.data import data_dir
+    from tpuspmm.formats import convert
+    from tpuspmm.kernels import panel_spmm
+
+    d = data_dir("large_20000")
+    assert d is not None, "committed corpus dir missing"
+    a = convert.load_sparse(d, "csr")
+    rng = np.random.default_rng(11)
+    b = rng.uniform(-1, 1, (a.shape[1], 64)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+
+    # the hazard is real: the resolved geometry is row-permuted and the
+    # split2 tier misses the gate on it
+    geom = panel_spmm.resolve_panel_geometry(
+        a, 128, budget_bytes=8 * 1024 * 1024,
+        plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP)
+    assert geom is not None and geom.row_perm is not None
+    out = np.asarray(panel_spmm.spmm_panel(a, b, mode="split2"))
+    assert not allclose(out, ref, 1e-2, 1e-3), (
+        "split2 now passes the gate on large_20000 — if the tier's "
+        "numerics improved, update BENCHMARKS.md's boundary-case note")
+
+    # the defense: every split tier is flagged verified_only, and the
+    # default tuned serving path filters those out (spmm_tuned's
+    # allow_verified_only=False), so the hazard can never be served
+    eng = get_engine("csr")
+    for v in eng.variants:
+        if v.name.endswith("_split") or v.name.endswith("split2"):
+            assert v.verified_only, v.name

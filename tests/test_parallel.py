@@ -171,6 +171,67 @@ def test_ring_tile_local_cols_axis(problem):
     assert allclose(out, ref, 1e-2, 1e-3)
 
 
+def test_ring_pair_local(problem):
+    """VERDICT r3 #7: the flagship pair kernel as the ring schedule's
+    local compute — per-(shard, bucket) strip runs jnp.taken by ring
+    step, ppermute overlapped."""
+    a, b, ref = problem
+    mesh = make_mesh((8,), ("rows",))
+    out = np.asarray(spmm_ring(a, b, mesh, local="pair"))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_ring_pair_local_uneven_buckets():
+    """VERDICT r3 #7 done-criterion: pair-local ring on ragged M/K with
+    wildly uneven bucket occupancy (90% of nnz in low K — some buckets
+    nearly empty, so the uniform chunk/strip padding machinery and the
+    count=0 filler DMAs are all exercised)."""
+    rng = np.random.default_rng(13)
+    m, k = 97, 205
+    n1, n2 = 360, 40
+    rows = np.concatenate([rng.integers(0, m, n1), rng.integers(0, m, n2)])
+    cols = np.concatenate([rng.integers(0, 64, n1), rng.integers(64, k, n2)])
+    vals = rng.standard_normal(n1 + n2).astype(np.float32)
+    from tpuspmm.formats import COO
+
+    a = COO(shape=(m, k), rows=rows.astype(np.int32),
+            cols=cols.astype(np.int32), values=vals)
+    b = rng.standard_normal((k, 40)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    mesh = make_mesh((4,), ("rows",))
+    out = np.asarray(spmm_ring(a, b, mesh, local="pair"))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_ring_pair_local_cols_axis(problem):
+    a, b, ref = problem
+    mesh = make_mesh((4, 2), ("rows", "cols"))
+    out = np.asarray(spmm_ring(a, b, mesh, cols_axis="cols", local="pair"))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_kshard_pair_local(problem):
+    from tpuspmm.parallel import spmm_kshard
+
+    a, b, ref = problem
+    mesh = make_mesh((8,), ("rows",))
+    out = np.asarray(spmm_kshard(a, b, mesh, local="pair"))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_kshard_pair_local_uneven():
+    from tpuspmm.parallel import spmm_kshard
+
+    rng = np.random.default_rng(17)
+    a = CSR.random(130, 333, 0.07, seed=9)
+    b = rng.standard_normal((333, 72)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    mesh = make_mesh((4,), ("rows",))
+    out = np.asarray(spmm_kshard(a, b, mesh, local="pair"))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
 def test_kshard_tile_local(problem):
     from tpuspmm.parallel import spmm_kshard
 

@@ -503,6 +503,124 @@ def bucket_tileplans(a, n_row_shards: int, n_k_shards: int,
                               **out)
 
 
+@dataclasses.dataclass(frozen=True)
+class KBucketedPairPlans:
+    """Per (row-shard, k-bucket) PAIR PLANS — the run-length-panel
+    counterpart of KBucketedTilePlans (VERDICT r3 #7: the ring and
+    reduce-scatter schedules should be able to serve the panel-family
+    flagship locally, not just the tile kernel).  Every bucket's plan
+    covers the LOCAL problem ``(m_local, k_local)`` (rows shard-relative,
+    cols bucket-relative); chunk-grid and strip arrays pad to uniform
+    counts so a ring step can ``jnp.take`` its bucket's plan by dynamic
+    index and the stack shards cleanly over the mesh axis.
+
+    The pair layout is used (rather than the P-padded panel layout)
+    because its per-bucket strip runs carry no alignment padding — the
+    uniform-count padding here is the only fill, and it is count=0
+    chunks whose DMA reads the bucket's zero tail."""
+
+    c_kt: np.ndarray     # (R, S, C) int32
+    c_st: np.ndarray     # (R, S, C) int32
+    c_start: np.ndarray  # (R, S, C) int32 — strip index LOCAL to bucket
+    c_count: np.ndarray  # (R, S, C) int32 — 0 = filler chunk
+    offs: np.ndarray     # (R, S, T + CH) int32 — supertile-local C rows
+    a_dense: np.ndarray  # (R, S, (T + CH) * tm, tk) f32/bf16
+
+    shape: Tuple[int, int]       # global (M, K)
+    n_row_shards: int
+    n_k_shards: int
+    m_local: int                 # padded rows per shard (multiple of tm)
+    k_local: int                 # padded cols per bucket (multiple of tk)
+    chunks_per_bucket: int
+    strips_per_bucket: int
+    tm: int
+    tk: int
+    chunk_strips: int
+    sm: int                      # supertile rows (≤ m_local)
+
+    @property
+    def n_supertiles(self) -> int:
+        return cdiv(self.m_local, self.sm)
+
+    @property
+    def plan_bytes(self) -> int:
+        return int(self.a_dense.nbytes)
+
+
+def bucket_pairplans(a, n_row_shards: int, n_k_shards: int,
+                     tm: int = 8, tk: int = 128, chunk_strips: int = 32,
+                     sm: int | None = None,
+                     m_align: int = 1) -> KBucketedPairPlans:
+    """Build a PairPlan per (row shard, k bucket) with uniform padding.
+
+    ``m_align`` forces m_local to also be a multiple of it (the
+    reduce-scatter schedule needs m_local % n_dev == 0 for the even
+    psum_scatter split)."""
+    from tpuspmm.kernels.pair_spmm import build_pair_plan
+
+    CH = chunk_strips
+    rows, cols, vals, (m, k) = _to_coo_arrays(a)
+    align = int(np.lcm(tm, max(int(m_align), 1)))
+    m_local = round_up(cdiv(m, n_row_shards), align)
+    k_local = round_up(cdiv(k, n_k_shards), tk)
+    if sm is not None:
+        sm = min(sm, m_local)
+
+    R, S = n_row_shards, n_k_shards
+    r_shard = rows // m_local
+    k_shard = cols // k_local
+    plans = []
+    for r in range(R):
+        row_plans = []
+        for s in range(S):
+            sel = (r_shard == r) & (k_shard == s)
+            row_plans.append(build_pair_plan(
+                rows[sel] - r * m_local, cols[sel] - s * k_local, vals[sel],
+                (m_local, k_local), tm=tm, tk=tk, chunk_strips=CH, sm=sm))
+        plans.append(row_plans)
+
+    sm_eff = plans[0][0].sm
+    n_st = plans[0][0].n_supertiles
+    chunks = [[p.chunk_arrays() for p in rp] for rp in plans]
+    c_max = max(c[0].shape[0] for rc in chunks for c in rc)
+    t_max = max(p.n_strips for rp in plans for p in rp)
+
+    # one bucket failing lossless bf16 compaction forces f32 for all —
+    # the stacked array shards over the mesh axis and must be one dtype
+    dtypes = {p.a_dense.dtype for rp in plans for p in rp}
+    dense_dtype = (plans[0][0].a_dense.dtype if len(dtypes) == 1
+                   else np.dtype(np.float32))
+
+    out_kt = np.zeros((R, S, c_max), np.int32)
+    out_st = np.full((R, S, c_max), n_st - 1, np.int32)
+    out_start = np.full((R, S, c_max), t_max, np.int32)
+    out_count = np.zeros((R, S, c_max), np.int32)
+    out_offs = np.full((R, S, t_max + CH), sm_eff, np.int32)
+    out_dense = np.zeros((R, S, (t_max + CH) * tm, tk), dense_dtype)
+    for r in range(R):
+        for s in range(S):
+            p = plans[r][s]
+            c_kt, c_st, c_start, c_count = chunks[r][s]
+            c = c_kt.shape[0]
+            out_kt[r, s, :c] = c_kt
+            out_st[r, s, :c] = c_st
+            # per-bucket filler chunks point at the bucket's own tail
+            # (p.n_strips); re-aim at the uniform tail so the DMA stays
+            # inside this bucket's slab after strip padding
+            out_start[r, s, :c] = np.where(c_count > 0, c_start, t_max)
+            out_count[r, s, :c] = c_count
+            out_offs[r, s, :p.n_strips] = p.offs[:p.n_strips]
+            out_dense[r, s, :p.n_strips * tm] = p.a_dense[
+                :p.n_strips * tm].astype(dense_dtype, copy=False)
+    return KBucketedPairPlans(
+        c_kt=out_kt, c_st=out_st, c_start=out_start, c_count=out_count,
+        offs=out_offs, a_dense=out_dense,
+        shape=(m, k), n_row_shards=R, n_k_shards=S,
+        m_local=m_local, k_local=k_local,
+        chunks_per_bucket=c_max, strips_per_bucket=t_max,
+        tm=tm, tk=tk, chunk_strips=CH, sm=sm_eff)
+
+
 def pad_dense_rows(b, k_pad: int):
     """Zero-pad B's row (K) dimension to ``k_pad`` (device arrays stay on
     device — no host round trip)."""

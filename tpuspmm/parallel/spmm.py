@@ -42,11 +42,13 @@ from tpuspmm.parallel.shard import (
     RowShardedPairPlan,
     KBucketedTriplets,
     KBucketedTilePlans,
+    KBucketedPairPlans,
     shard_rows_tileplan,
     shard_rows_panelplan,
     shard_rows_pairplan,
     bucket_triplets,
     bucket_tileplans,
+    bucket_pairplans,
     pad_dense_rows,
 )
 
@@ -411,6 +413,24 @@ def _cached_bucket_tileplans(a, n_row, n_k, m_align=1) -> KBucketedTilePlans:
     return plans
 
 
+def _cached_bucket_pairplans(a, n_row, n_k, sm=None,
+                             m_align=1) -> KBucketedPairPlans:
+    key = ("bucket_pairplans", n_row, n_k, sm, m_align)
+    cache = getattr(a, "_plan_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(a, "_plan_cache", cache)
+        except Exception:
+            cache = None
+    if cache is not None and key in cache:
+        return cache[key]
+    plans = bucket_pairplans(a, n_row, n_k, sm=sm, m_align=m_align)
+    if cache is not None:
+        cache[key] = plans
+    return plans
+
+
 def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
                 buckets: Optional[KBucketedTriplets] = None,
                 local: str = "xla",
@@ -426,7 +446,10 @@ def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
     reduce-scatter of C per call, riding ICI.
 
     ``local``: "xla" = gather + segment-sum, "tile" = the Pallas
-    tile-sparse MXU kernel per chip (VERDICT r2 #4).
+    tile-sparse MXU kernel per chip (VERDICT r2 #4), "pair" = the
+    run-length pair kernel per chip (VERDICT r3 #7: the flagship kernel
+    family computes each K-slab's full-height partial, then the
+    reduce-scatter rides ICI).
     """
     n_dev = mesh.shape[axis]
     n_orig = int(np.shape(b)[1])
@@ -437,8 +460,16 @@ def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
                 "plans= (bucket_tileplans), not triplet buckets=; the "
                 "buckets would be silently rebuilt otherwise")
         return _spmm_kshard_tile(a, b, mesh, axis, plans, interpret)
+    if local == "pair":
+        if buckets is not None:
+            raise ValueError(
+                "spmm_kshard(local='pair') takes prebuilt PAIR plans via "
+                "plans= (bucket_pairplans), not triplet buckets=; the "
+                "buckets would be silently rebuilt otherwise")
+        return _spmm_kshard_pair(a, b, mesh, axis, plans, interpret)
     if local != "xla":
-        raise ValueError(f"spmm_kshard local must be 'xla' or 'tile', got {local!r}")
+        raise ValueError(
+            f"spmm_kshard local must be 'xla', 'tile' or 'pair', got {local!r}")
     if buckets is None:
         # single row shard, K bucketed: buckets.rows is (1, S, E)
         buckets = bucket_triplets(a, 1, n_dev, m_align=8 * n_dev)
@@ -545,6 +576,81 @@ def _kshard_tile_callable(mesh, axis, m_local, **static):
     ))
 
 
+def _spmm_kshard_pair(a, b, mesh: Mesh, axis: str,
+                      plans: Optional[KBucketedPairPlans], interpret):
+    """Reduce-scatter schedule with the run-length pair kernel as the
+    local compute: each chip pre-densified its K-slab of A into strip
+    runs at plan time and serves them through the in-kernel-DMA pair
+    kernel; psum_scatter reduces the full-height partials and leaves C
+    row-sharded (VERDICT r3 #7)."""
+    from tpuspmm.kernels import pair_spmm
+
+    n_dev = mesh.shape[axis]
+    interp = should_interpret(interpret)
+    n_orig = int(np.shape(b)[1])
+    if plans is None:
+        plans = _cached_bucket_pairplans(a, 1, n_dev, m_align=n_dev)
+    if plans.n_row_shards != 1:
+        raise ValueError("spmm_kshard needs n_row_shards == 1 pair plans")
+    if plans.m_local % n_dev != 0:
+        raise ValueError(
+            f"m_local={plans.m_local} not divisible by {n_dev}; rebuild "
+            f"with bucket_pairplans(a, 1, n_dev, m_align=n_dev)")
+    m, k = plans.shape
+    n_pad = round_up(n_orig, 128)
+    if not interp and not pair_spmm.fits_vmem_pair(
+            plans.sm, n_pad, plans.tm, plans.tk,
+            chunk_strips=plans.chunk_strips):
+        raise ValueError(
+            f"full-height output slab ({plans.sm}x{n_pad}) exceeds the "
+            "VMEM residency budget; rebuild the bucket plans with a "
+            "smaller sm (bucket_pairplans(..., sm=...)) or use "
+            "local='tile'")
+    b_padded = pad_dense_rows(b, plans.k_local * n_dev)
+    if n_pad != n_orig:
+        b_padded = jnp.pad(b_padded, ((0, 0), (0, n_pad - n_orig)))
+
+    shard = functools.partial(_put, mesh)
+    args = (
+        shard(plans.c_kt[0], P(axis)), shard(plans.c_st[0], P(axis)),
+        shard(plans.c_start[0], P(axis)), shard(plans.c_count[0], P(axis)),
+        shard(plans.offs[0], P(axis)), shard(plans.a_dense[0], P(axis)),
+        shard(b_padded, P(axis)),
+    )
+    fn = _kshard_pair_callable(
+        mesh, axis, plans.m_local,
+        tm=plans.tm, tk=plans.tk, chunk_strips=plans.chunk_strips,
+        sm=plans.sm, n_st=plans.n_supertiles, interpret=interp)
+    out = fn(*args)
+    return out[:m, :n_orig]
+
+
+@functools.lru_cache(maxsize=64)
+def _kshard_pair_callable(mesh, axis, m_local, **static):
+    from tpuspmm.kernels.pair_spmm import _pair_spmm
+
+    n_st = static["n_st"]
+    sm = static["sm"]
+    tm = static["tm"]
+
+    def local_fn(c_kt, c_st, c_start, c_count, offs, a_dense, b_panel):
+        partial = _pair_spmm(c_kt[0], c_st[0], c_start[0], c_count[0],
+                             offs[0], a_dense[0], b_panel, **static)
+        if n_st > 1:
+            n_w = partial.shape[1]
+            partial = partial.reshape(n_st, sm + tm, n_w)[:, :sm, :]
+            partial = partial.reshape(n_st * sm, n_w)
+        return jax.lax.psum_scatter(partial[:m_local], axis,
+                                    scatter_dimension=0, tiled=True)
+
+    return jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis)),
+        out_specs=P(axis), check_vma=False,
+    ))
+
+
 # ---------------------------------------------------------------------------
 # ring: B K-sharded, panels ppermuted around the mesh axis
 # ---------------------------------------------------------------------------
@@ -567,7 +673,11 @@ def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
     Pallas tile-sparse MXU kernel per bucket (VERDICT r2 #4 / the
     BASELINE north-star "B panels overlapped with local tile compute") —
     each ring step dynamically selects its bucket's tile plan and the
-    ppermute still overlaps the Pallas call.
+    ppermute still overlaps the Pallas call.  "pair" = the run-length
+    pair kernel per bucket (VERDICT r3 #7: the flagship kernel family in
+    the communicating schedule): per-(shard, bucket) pre-densified strip
+    runs, ``jnp.take``n by ring step, zero alignment padding in the
+    stored plan.
     """
     n_dev = mesh.shape[axis]
     n_orig = int(np.shape(b)[1])
@@ -578,8 +688,16 @@ def spmm_ring(a, b, mesh: Mesh, axis: str = "rows",
                 "plans= (bucket_tileplans), not triplet buckets=; the "
                 "buckets would be silently rebuilt otherwise")
         return _spmm_ring_tile(a, b, mesh, axis, cols_axis, plans, interpret)
+    if local == "pair":
+        if buckets is not None:
+            raise ValueError(
+                "spmm_ring(local='pair') takes prebuilt PAIR plans via "
+                "plans= (bucket_pairplans), not triplet buckets=; the "
+                "buckets would be silently rebuilt otherwise")
+        return _spmm_ring_pair(a, b, mesh, axis, cols_axis, plans, interpret)
     if local != "xla":
-        raise ValueError(f"spmm_ring local must be 'xla' or 'tile', got {local!r}")
+        raise ValueError(
+            f"spmm_ring local must be 'xla', 'tile' or 'pair', got {local!r}")
     if buckets is None:
         buckets = bucket_triplets(a, n_dev, n_dev)
     m, k = buckets.shape
@@ -688,6 +806,107 @@ def _spmm_ring_tile(a, b, mesh: Mesh, axis: str, cols_axis: Optional[str],
         tile_n=tile_n, interpret=interp)
     out = fn(*args)
     return out[:m, :n_orig]
+
+
+def _spmm_ring_pair(a, b, mesh: Mesh, axis: str, cols_axis: Optional[str],
+                    plans: Optional[KBucketedPairPlans], interpret):
+    """Ring schedule serving the run-length PAIR kernel per (shard,
+    bucket): every ring step ``jnp.take``s its bucket's stacked pair plan
+    and runs the in-kernel-DMA strip-run kernel against the B panel it
+    currently holds, while ppermute forwards the panel (VERDICT r3 #7 —
+    the BASELINE north-star with the flagship kernel family as the
+    overlapped local compute)."""
+    from tpuspmm.kernels import pair_spmm
+
+    n_dev = mesh.shape[axis]
+    interp = should_interpret(interpret)
+    n_orig = int(np.shape(b)[1])
+    if plans is None:
+        plans = _cached_bucket_pairplans(a, n_dev, n_dev)
+    m, k = plans.shape
+    k_pad = plans.k_local * n_dev
+    if cols_axis is not None:
+        n_cols = mesh.shape[cols_axis]
+        n_local = round_up(-(-n_orig // n_cols), 128)
+        n_pad = n_local * n_cols
+        b_spec = P(axis, cols_axis)
+    else:
+        n_local = n_pad = round_up(n_orig, 128)
+        b_spec = P(axis)
+    if not interp and not pair_spmm.fits_vmem_pair(
+            plans.sm, n_local, plans.tm, plans.tk,
+            chunk_strips=plans.chunk_strips):
+        raise ValueError(
+            f"per-shard output slab ({plans.sm}x{n_local}) exceeds the "
+            "VMEM residency budget; rebuild the bucket plans with a "
+            "smaller sm (bucket_pairplans(..., sm=...)) or use "
+            "local='tile'")
+    b_padded = pad_dense_rows(b, k_pad)
+    if n_pad != n_orig:
+        b_padded = jnp.pad(b_padded, ((0, 0), (0, n_pad - n_orig)))
+
+    shard = functools.partial(_put, mesh)
+    args = (
+        shard(plans.c_kt, P(axis)), shard(plans.c_st, P(axis)),
+        shard(plans.c_start, P(axis)), shard(plans.c_count, P(axis)),
+        shard(plans.offs, P(axis)), shard(plans.a_dense, P(axis)),
+        shard(b_padded, b_spec),
+    )
+    fn = _ring_pair_callable(
+        mesh, axis, cols_axis, n_dev, plans.m_local,
+        tm=plans.tm, tk=plans.tk, chunk_strips=plans.chunk_strips,
+        sm=plans.sm, n_st=plans.n_supertiles, interpret=interp)
+    out = fn(*args)
+    return out[:m, :n_orig]
+
+
+@functools.lru_cache(maxsize=64)
+def _ring_pair_callable(mesh, axis, cols_axis, n_dev, m_local, **static):
+    from tpuspmm.kernels.pair_spmm import _pair_spmm
+
+    perm = tuple((j, (j + 1) % n_dev) for j in range(n_dev))
+    vary_axes = (axis,) if cols_axis is None else (axis, cols_axis)
+    b_spec = P(axis) if cols_axis is None else P(axis, cols_axis)
+    n_st = static["n_st"]
+    sm = static["sm"]
+    tm = static["tm"]
+
+    def local_fn(c_kt, c_st, c_start, c_count, offs, a_dense, b_panel):
+        # local leading dims: (1, S, ...) — drop the shard dim
+        c_kt, c_st = c_kt[0], c_st[0]
+        c_start, c_count = c_start[0], c_count[0]
+        offs, a_dense = offs[0], a_dense[0]
+        idx = jax.lax.axis_index(axis)
+        acc0 = jax.lax.pcast(
+            jnp.zeros((m_local, b_panel.shape[1]), jnp.float32),
+            vary_axes, to="varying")
+
+        def body(i, carry):
+            b_cur, acc = carry
+            src = (idx - i) % n_dev
+            take = lambda x: jnp.take(x, src, axis=0)
+            # the send depends only on b_cur — XLA overlaps it with the
+            # Pallas call below
+            b_nxt = jax.lax.ppermute(b_cur, axis, list(perm))
+            out = _pair_spmm(take(c_kt), take(c_st), take(c_start),
+                             take(c_count), take(offs), take(a_dense),
+                             b_cur, **static)
+            if n_st > 1:
+                n_w = out.shape[1]
+                out = out.reshape(n_st, sm + tm, n_w)[:, :sm, :]
+                out = out.reshape(n_st * sm, n_w)
+            return (b_nxt, acc + out[:m_local])
+
+        _, acc = jax.lax.fori_loop(0, n_dev, body, (b_panel, acc0))
+        return acc
+
+    return jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  b_spec),
+        out_specs=b_spec if cols_axis is not None else P(axis),
+        check_vma=False,
+    ))
 
 
 @functools.lru_cache(maxsize=64)
