@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-3 TPU measurement session: wait for the axon tunnel, then run the
+# Round-4 TPU measurement session: wait for the axon tunnel, then run the
 # full on-chip validation + measurement sequence in dependency order.
 # Committed (round 2's equivalent lived uncommitted in .r2_recovery.sh and
 # was lost to the judge).  No kills/timeouts on TPU steps — killing a
@@ -8,8 +8,8 @@
 # Usage:  bash bench/tpu_session.sh [logfile]
 set -u
 cd "$(dirname "$0")/.."
-LOG=${1:-/tmp/r3_tpu_session.log}
-echo "[$(date)] r3 TPU session runner started" | tee "$LOG"
+LOG=${1:-/tmp/r4_tpu_session.log}
+echo "[$(date)] r4 TPU session runner started" | tee "$LOG"
 
 python -m bench.await_tpu --budget 43200 --sleep 180 >> "$LOG" 2>&1 || {
   echo "[$(date)] tunnel never recovered within budget" | tee -a "$LOG"
@@ -26,39 +26,51 @@ step() {
   echo "[$(date)] rc=$?" >> "$LOG"
 }
 
-# 1. compile+verify every variant end-to-end on the chip (incl. the new
-#    xla_compensated / ELL staged-B / tm-searched panel geometries)
+# 1. compile+verify every variant end-to-end on the chip
 step python -m tpuspmm.cli --csr --coo --bsr --ell -d data/small_32x32 \
-    --repeats 1 > /tmp/r3_cli.out
+    --repeats 1 > /tmp/r4_cli.out
 
-# 2. pair-vs-panel ablation on the large corpus (VERDICT r2 #2)
+# 2. measured chip controls: what the hardware actually delivers to
+#    well-formed XLA programs (grounds the re-based roofline target)
+step python -m bench.hbm_control > results/hbm_control.jsonl
+
+# 3. pair-vs-panel + geometry ablations under HONEST (chain-lengthened)
+#    timing — round-3's short-chain records had ~2.3x spread on
+#    identical geometries
 step python -m bench.ablate_pair large_25605 large_21074 large_20000 \
     medium_4096 large_15120 --chunks 8,16,32,64 --repeats 16 \
-    > results/ablate_pair.jsonl
-
-# 3. panel tm ablation — fits panel_strip_us and validates the (tm, P)
-#    search's picks (VERDICT r2 #3)
+    > results/ablate_pair_r4.jsonl
 step python -m bench.ablate_panel large_25605 large_21074 large_20000 \
-    medium_4096 --tm 8,16,32 --repeats 16 > results/ablate_panel_tm.jsonl
+    medium_4096 --strips 8,16,32,64 --tm 8,16,32 --repeats 16 \
+    > results/ablate_panel_r4.jsonl
 
-# 4. headline bench (autotunes, warms the shared tune cache)
-step python bench.py > /tmp/r3_bench.json
+# 4. headline bench (autotunes with the geometry-candidate sweep, pins
+#    the measured winner, records provenance)
+step python bench.py > /tmp/r4_bench.json
 
-# 5. refresh the sweep artifacts with the new kernel numbers
-step python -m bench.sweep_formats --repeats 8 \
+# 5. regenerate the sweep artifacts FROM SCRATCH under the current
+#    registry (--fresh: one generation, no stale duplicate groups;
+#    per-group device-fault retry built in)
+step python -m bench.sweep_formats --repeats 5 --fresh \
     --out results/formats_full.jsonl
 step python -m bench.sweep_sparsity --repeats 8 \
     --out results/sparsity.jsonl
 
-# 6. single-chip weak-scaling stand-in (VERDICT r2 #8)
+# 6. single-chip weak-scaling stand-in, BOTH modes: replicated =
+#    constant per-shard work (the BASELINE "replicated 8x" config),
+#    strong = the shrinking-shard split curve
 step python -m bench.weak_scaling_standin --case large_25605 \
-    --counts 1,2,4,8 --repeats 16 > results/weak_scaling_standin.jsonl
+    --counts 1,2,4,8 --repeats 16 --mode replicated \
+    > results/weak_scaling_standin.jsonl
+step python -m bench.weak_scaling_standin --case large_25605 \
+    --counts 1,2,4,8 --repeats 16 --mode strong \
+    >> results/weak_scaling_standin.jsonl
 
-echo "[$(date)] r3 TPU session DONE" | tee -a "$LOG"
+echo "[$(date)] r4 TPU session DONE" | tee -a "$LOG"
 
-# 7. one-command refit of the panel cost-model constants from the tm
-#    ablation (bench/fit_panel_model.py); rank-deficient sweeps produce
-#    an error record, not garbage constants
-step python -m bench.fit_panel_model results/ablate_panel_tm.jsonl \
+# 7. one-command refit of the panel cost-model constants from the
+#    geometry ablation (bench/fit_panel_model.py); rank-deficient sweeps
+#    produce an error record, not garbage constants
+step python -m bench.fit_panel_model results/ablate_panel_r4.jsonl \
     > results/panel_model_fit.json
-echo "[$(date)] r3 fit step done" | tee -a "$LOG"
+echo "[$(date)] r4 fit step done" | tee -a "$LOG"

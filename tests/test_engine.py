@@ -619,3 +619,54 @@ def test_split2_hazard_large_20000_never_served_by_default():
     for v in eng.variants:
         if v.name.endswith("_split") or v.name.endswith("split2"):
             assert v.verified_only, v.name
+
+
+def test_sweep_formats_retries_device_faults(tmp_path, monkeypatch):
+    """VERDICT r3 #2 done-criterion: one RESOURCE_EXHAUSTED must not zero
+    a sweep group — the harness probe-waits and re-runs the (dir, format)
+    group, and --fresh regenerates the artifact in one generation."""
+    import json
+
+    from bench import sweep_formats
+
+    calls = {"n": 0}
+
+    def fake_run_engine(engine, a, b, **kw):
+        calls["n"] += 1
+        from tpuspmm.engine.report import make_record
+
+        common = dict(testcase=kw.get("testcase", "t"), sparsity=0.1,
+                      fmt="csr", nnz=10, shape=(4, 4), n=4)
+        if calls["n"] == 1:  # first attempt: device fault
+            rec = make_record(kernel_type=1, kernel_name="boom",
+                              extra={"error": "RESOURCE_EXHAUSTED: oom"},
+                              **common)
+            rec["device_fault"] = "1"
+            return [rec]
+        return [make_record(kernel_type=1, kernel_name="ok", correct=True,
+                            kernel_ms=0.5, **common)]
+
+    waited = {"n": 0}
+    import bench.await_tpu as await_mod
+
+    monkeypatch.setattr(await_mod, "await_tpu",
+                        lambda budget_s=600: waited.update(
+                            n=waited["n"] + 1) or True)
+    monkeypatch.setattr("tpuspmm.engine.runner.run_engine", fake_run_engine)
+    monkeypatch.setattr(sweep_formats, "run_engine", fake_run_engine,
+                        raising=False)
+
+    out = tmp_path / "sweep.jsonl"
+    out.write_text('{"stale": "generation"}\n')  # --fresh must drop this
+    rc = sweep_formats.main([
+        "--data-root", "data", "--dirs", "small_32x32", "--formats", "csr",
+        "--out", str(out), "--fresh", "--retries", "2", "--skip-seq"])
+    recs = [json.loads(l) for l in out.read_text().splitlines()
+            if l.startswith("{")]
+    assert rc == 0
+    assert waited["n"] == 1, "await_tpu not called on fault"
+    assert calls["n"] == 2, "group not retried exactly once"
+    assert all("stale" not in r for r in recs), "--fresh kept old records"
+    assert any(r.get("kernelName") == "ok" for r in recs)
+    assert not any(r.get("kernelName") == "boom" for r in recs), (
+        "only the final attempt's records should be emitted")
