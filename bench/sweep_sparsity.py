@@ -36,6 +36,9 @@ def main(argv=None) -> int:
     p.add_argument("--skip-seq", action="store_true")
     p.add_argument("--no-vendor", action="store_true")
     p.add_argument("--out", default=None)
+    p.add_argument("--fresh", action="store_true",
+                   help="truncate --out instead of appending (regenerate "
+                        "the artifact in one generation, VERDICT r3 #2)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -48,7 +51,8 @@ def main(argv=None) -> int:
     config = default_config()
     rng = np.random.default_rng(args.seed)
     b = rng.uniform(args.lo, args.hi, (args.cols, args.width)).astype(np.float32)
-    out_stream = open(args.out, "a") if args.out else sys.stdout
+    out_stream = (open(args.out, "w" if args.fresh else "a")
+                  if args.out else sys.stdout)
 
     failures = 0
     try:

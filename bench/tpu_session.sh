@@ -53,7 +53,7 @@ step python bench.py > /tmp/r4_bench.json
 #    per-group device-fault retry built in)
 step python -m bench.sweep_formats --repeats 5 --fresh \
     --out results/formats_full.jsonl
-step python -m bench.sweep_sparsity --repeats 8 \
+step python -m bench.sweep_sparsity --repeats 8 --fresh \
     --out results/sparsity.jsonl
 
 # 6. single-chip weak-scaling stand-in, BOTH modes: replicated =
