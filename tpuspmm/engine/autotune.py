@@ -156,6 +156,7 @@ def _vendor_variant():
 
 def _disk_key(a, b, config=None) -> str:
     from tpuspmm.engine.report import detect_chip
+    from tpuspmm.kernels.dispatch import thresholds
 
     # v3: entries carry the Config fingerprint (a ranking verified under
     # one precision/geometry must not be served under another) and a
@@ -164,9 +165,16 @@ def _disk_key(a, b, config=None) -> str:
     # geometry CANDIDATES and carry the pinned winner's provenance — a
     # v3 entry's ms is the model's single resolved pick (round 3 showed
     # it can be 2.2x off the measured-best), so it must not be served.
+    # The chip-constants fingerprint keeps the ranking and the pinned
+    # geometry in lockstep: a constants refit invalidates the GEOMETRY
+    # disk cache (its key embeds thresholds), so a surviving tune entry
+    # would claim a measured-winner geometry that serving no longer
+    # resolves — both caches must turn over together.
+    th_fp = hashlib.sha1(repr(sorted(thresholds().items())).encode()
+                         ).hexdigest()[:8]
     return (f"v4:{matrix_digest(a)}:{a.format_name}:n{int(np.shape(b)[1])}"
             f":{detect_chip()}:e{_engine_rev(a.format_name)}"
-            f":c{_config_fp(config)}")
+            f":c{_config_fp(config)}:t{th_fp}")
 
 
 def _disk_load(key: str) -> Optional[Tuple[List[TuneResult], Set[str], bool]]:
