@@ -25,6 +25,54 @@ from tpuspmm.data import data_root as _data_root
 DEFAULT_ROOT = _data_root() or "data"
 
 
+def _isolated_main(args, dirs) -> int:
+    """Parent loop for --isolate: one child process per data dir, each
+    appending to --out; a child killed by a poisoned-client fault is
+    probe-waited and re-run (fresh process = fresh client), so one dir's
+    OOM can neither zero its own group nor take down the rest of the
+    sweep.  The parent itself never initializes the JAX backend."""
+    import subprocess
+
+    if args.out and args.fresh:
+        open(args.out, "w").close()  # one generation — truncate up front
+    rc_total = 0
+    for dirname in dirs:
+        tmp = (args.out + f".{dirname}.part") if args.out else None
+        cmd = [sys.executable, "-m", "bench.sweep_formats",
+               "--data-root", args.data_root, "--dirs", dirname,
+               "--formats", args.formats, "--repeats", str(args.repeats),
+               "--retries", str(args.retries)]
+        if args.width is not None:
+            cmd += ["--width", str(args.width)]
+        if args.synth_b:
+            cmd.append("--synth-b")
+        if args.skip_seq:
+            cmd.append("--skip-seq")
+        if args.no_vendor:
+            cmd.append("--no-vendor")
+        if tmp:
+            # child writes a per-dir part file FRESH each attempt — a
+            # crashed attempt's partial records never reach the artifact,
+            # so a retried dir cannot leave two generations behind
+            cmd += ["--out", tmp, "--fresh"]
+        for attempt in range(args.retries + 1):
+            rc = subprocess.run(cmd).returncode
+            if rc == 0 or attempt == args.retries:
+                break
+            print(f"# {dirname}: child rc={rc} — waiting for the TPU and "
+                  f"re-running the dir ({attempt + 1}/{args.retries})",
+                  file=sys.stderr)
+            from bench.await_tpu import await_tpu
+
+            await_tpu(budget_s=600)
+        if tmp and os.path.exists(tmp):
+            with open(args.out, "a") as out_f, open(tmp) as part:
+                out_f.write(part.read())
+            os.remove(tmp)
+        rc_total |= rc
+    return rc_total
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--data-root", default=DEFAULT_ROOT)
@@ -48,7 +96,24 @@ def main(argv=None) -> int:
                         "(RESOURCE_EXHAUSTED / UNAVAILABLE): probe-wait "
                         "for the TPU and re-run the group, so one fault "
                         "doesn't zero a whole group")
+    p.add_argument("--isolate", action="store_true",
+                   help="run each data dir in its own subprocess.  A "
+                        "device OOM POISONS the JAX client (every later "
+                        "call in the process fails even after the chip "
+                        "recovers — observed on large_20000 in rounds 3 "
+                        "AND 4), so in-process retry cannot help; a fresh "
+                        "process per dir both contains the fault and "
+                        "prevents cross-dir HBM accumulation.  The parent "
+                        "never touches the backend.")
     args = p.parse_args(argv)
+
+    dirs = (args.dirs.split(",") if args.dirs
+            else sorted(d for d in os.listdir(args.data_root)
+                        if os.path.isdir(os.path.join(args.data_root, d))))
+    formats = args.formats.split(",")
+
+    if args.isolate:
+        return _isolated_main(args, dirs)
 
     from tpuspmm.config import default_config
     from tpuspmm.engine.registry import get_engine
@@ -57,10 +122,6 @@ def main(argv=None) -> int:
     from tpuspmm.formats import convert
 
     config = default_config()
-    dirs = (args.dirs.split(",") if args.dirs
-            else sorted(d for d in os.listdir(args.data_root)
-                        if os.path.isdir(os.path.join(args.data_root, d))))
-    formats = args.formats.split(",")
     out_stream = (open(args.out, "w" if args.fresh else "a")
                   if args.out else sys.stdout)
 
@@ -93,12 +154,23 @@ def main(argv=None) -> int:
                 print(f"# {dirname} {fmt}: A {a.shape} nnz={a.nnz} N={b.shape[1]}",
                       file=sys.stderr)
                 for attempt in range(args.retries + 1):
-                    records = run_engine(
-                        get_engine(fmt), a, b, testcase=dirname,
-                        config=config, skip_seq=args.skip_seq,
-                        run_vendor=not args.no_vendor,
-                        repeats=args.repeats, emit=False,
-                    )
+                    try:
+                        records = run_engine(
+                            get_engine(fmt), a, b, testcase=dirname,
+                            config=config, skip_seq=args.skip_seq,
+                            run_vendor=not args.no_vendor,
+                            repeats=args.repeats, emit=False,
+                        )
+                    except Exception as e:
+                        # group-level fault (e.g. the initial B transfer
+                        # OOMs before any variant runs) — synthesize a
+                        # fault record; the run must outlive the group
+                        records = [report_mod.make_record(
+                            testcase=dirname, sparsity=a.sparsity, fmt=fmt,
+                            kernel_type="", nnz=a.nnz, shape=a.shape,
+                            n=int(np.shape(b)[1]),
+                            extra={"error": f"{type(e).__name__}: {e}",
+                                   "device_fault": "1"})]
                     if not _group_faulted(records) or attempt == args.retries:
                         break
                     print(f"# {dirname} {fmt}: device fault — waiting for "

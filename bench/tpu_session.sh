@@ -51,7 +51,7 @@ step python bench.py > /tmp/r4_bench.json
 # 5. regenerate the sweep artifacts FROM SCRATCH under the current
 #    registry (--fresh: one generation, no stale duplicate groups;
 #    per-group device-fault retry built in)
-step python -m bench.sweep_formats --repeats 5 --fresh \
+step python -m bench.sweep_formats --repeats 5 --fresh --isolate \
     --out results/formats_full.jsonl
 step python -m bench.sweep_sparsity --repeats 8 --fresh \
     --out results/sparsity.jsonl
