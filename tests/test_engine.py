@@ -670,3 +670,22 @@ def test_sweep_formats_retries_device_faults(tmp_path, monkeypatch):
     assert any(r.get("kernelName") == "ok" for r in recs)
     assert not any(r.get("kernelName") == "boom" for r in recs), (
         "only the final attempt's records should be emitted")
+
+
+def test_gather_family_admission_caps_materialized_intermediate():
+    """The XLA gather+segment-sum lowering materializes an (nnz, n)
+    intermediate; at large_20000's reference width (n=20000) that is
+    ~11 GB and the OOM poisons the JAX client (rounds 3-4).  The variant
+    must skip (inadmissible) instead of attempting it."""
+    from tpuspmm.engine import registry
+
+    cfg = tpuspmm.default_config()
+    a = CSR.random(100, 140, 0.08, seed=11)
+    b_small = np.zeros((140, 64), np.float32)
+    assert registry._gather_ok(a, b_small, cfg)
+    # fake a huge width: nnz * n * 4 over the cap
+    class WideB:
+        shape = (140, registry.GATHER_MAX_BYTES // (4 * a.nnz) + 256)
+    wide = np.zeros((1, 1), np.float32)  # placeholder; use shape shim
+    assert not registry._gather_ok(
+        a, np.broadcast_to(wide, (140, WideB.shape[1])), cfg)

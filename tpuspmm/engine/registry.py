@@ -81,6 +81,37 @@ def _csr_xla(a, b, config):
     return xla.spmm_csr_xla(a, b)
 
 
+GATHER_MAX_BYTES = 2 << 30  # 2 GiB intermediate cap for materializing paths
+
+
+def _gather_ok(a, b, config):
+    """Admission for the XLA gather+segment-sum family: the lowering
+    MATERIALIZES the (nnz, n) gathered-B intermediate (ops/xla.py
+    spmm_triplets), which at reference widths can dwarf HBM — e.g.
+    large_20000's on-disk dense operand is 20000 wide, so the
+    intermediate is 137736 x 20000 x 4 B = 11 GB and the OOM poisons the
+    JAX client for every later call in the process (observed rounds 3-4).
+    The reference's CUDA kernels read B in place per element
+    (spmm_csr_k1.cu:28-31) and never hit this; skipping with an
+    'inadmissible' record is the honest equivalent of K4's VMEM bail
+    (spmm_csr_k4.cu:92-101)."""
+    from tpuspmm.kernels.common import round_up
+
+    n_pad = round_up(int(np.shape(b)[1]), 128)
+    return a.nnz * n_pad * 4 <= GATHER_MAX_BYTES
+
+
+def _bsr_gather_ok(a, b, config):
+    """BSR einsum admission: the gathered B panels are
+    (nblocks, block_w, n) — same materialization hazard as _gather_ok."""
+    from tpuspmm.kernels.common import round_up
+
+    n_pad = round_up(int(np.shape(b)[1]), 128)
+    nblocks = int(a.blocks.shape[0]) if getattr(a, "blocks", None) is not None else 0
+    bw = int(a.blocks.shape[2]) if nblocks else 1
+    return nblocks * bw * n_pad * 4 <= GATHER_MAX_BYTES
+
+
 def _tile(a, b, config):
     from tpuspmm.kernels import tile_spmm
     from tpuspmm.kernels.common import round_up
@@ -287,7 +318,8 @@ def build_engines() -> Dict[str, Engine]:
             fmt="csr",
             variants=[
                 KernelVariant(1, "xla_segment_sum", _csr_xla,
-                              "gather + row segment-sum on the VPU (≙ K1/K3 row-parallel, spmm_csr_k1.cu:12-34)"),
+                              "gather + row segment-sum on the VPU (≙ K1/K3 row-parallel, spmm_csr_k1.cu:12-34)",
+                              admissible=_gather_ok),
                 KernelVariant(2, "pallas_tile_mxu", _tile,
                               "nnz-balanced tile chunks, MXU one-hot densify (≙ K2 merge-path, spmm_csr_k2.cu:10-58)"),
                 KernelVariant(3, "pallas_staged_b", _staged,
@@ -331,7 +363,8 @@ def build_engines() -> Dict[str, Engine]:
             fmt="coo",
             variants=[
                 KernelVariant(1, "xla_segment_sum", _coo_xla,
-                              "atomic-free scatter via segment-sum (≙ K5 atomicAdd, spmm_coo_k1.cu:8-27)"),
+                              "atomic-free scatter via segment-sum (≙ K5 atomicAdd, spmm_coo_k1.cu:8-27)",
+                              admissible=_gather_ok),
                 KernelVariant(2, "pallas_tile_mxu", _tile,
                               "tile-sparse MXU kernel over row-sorted triplets"),
                 KernelVariant(3, "pallas_c_resident", _cres,
@@ -353,7 +386,8 @@ def build_engines() -> Dict[str, Engine]:
             fmt="bsr",
             variants=[
                 KernelVariant(1, "xla_block_einsum", _bsr_xla,
-                              "gathered-panel batched matmul + block-row segment-sum (≙ K6, spmm_bsr_k1.cu:8-41)"),
+                              "gathered-panel batched matmul + block-row segment-sum (≙ K6, spmm_bsr_k1.cu:8-41)",
+                              admissible=_bsr_gather_ok),
                 KernelVariant(2, "pallas_block_stream", _bsr_stream,
                               "MXU block streaming with VMEM-resident output tile (megablox-style)"),
                 KernelVariant(3, "pallas_tile_mxu", _tile,
@@ -374,7 +408,8 @@ def build_engines() -> Dict[str, Engine]:
             fmt="ell",
             variants=[
                 KernelVariant(1, "xla_segment_sum", _ell_xla,
-                              "column-slot scatter via segment-sum (≙ K7/K8 atomicAdd scatter, spmm_ell_k1.cu:11-35)"),
+                              "column-slot scatter via segment-sum (≙ K7/K8 atomicAdd scatter, spmm_ell_k1.cu:11-35)",
+                              admissible=_gather_ok),
                 KernelVariant(2, "pallas_tile_mxu", _tile,
                               "tile-sparse MXU kernel over ELL slots"),
                 KernelVariant(3, "pallas_c_resident", _cres,
