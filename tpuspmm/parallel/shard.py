@@ -585,6 +585,22 @@ def bucket_pairplans(a, n_row_shards: int, n_k_shards: int,
     c_max = max(c[0].shape[0] for rc in chunks for c in rc)
     t_max = max(p.n_strips for rp in plans for p in rp)
 
+    # the uniform strip count is structural (jnp.take by bucket index),
+    # so nnz skew pads EVERY bucket's dense slab to the densest one's
+    # size — surface the blow-up instead of silently shipping it
+    total_strips = sum(p.n_strips for rp in plans for p in rp)
+    pad_ratio = (R * S * t_max) / max(total_strips, 1)
+    plan_bytes = R * S * (t_max + CH) * tm * tk * 4
+    if pad_ratio > 8.0 and plan_bytes > 64 * 1024 * 1024:
+        import warnings
+
+        warnings.warn(
+            f"bucket_pairplans: nnz skew pads the stacked plans "
+            f"{pad_ratio:.1f}x ({plan_bytes / 1e6:.0f} MB for "
+            f"{total_strips} real strips); consider local='xla' (ragged "
+            f"triplet buckets) for this matrix",
+            RuntimeWarning, stacklevel=2)
+
     # one bucket failing lossless bf16 compaction forces f32 for all —
     # the stacked array shards over the mesh axis and must be one dtype
     dtypes = {p.a_dense.dtype for rp in plans for p in rp}
