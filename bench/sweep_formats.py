@@ -38,10 +38,14 @@ def _isolated_main(args, dirs) -> int:
     rc_total = 0
     for dirname in dirs:
         tmp = (args.out + f".{dirname}.part") if args.out else None
+        # children run with --retries 0: the whole point of --isolate is
+        # that a poisoned client needs a FRESH process, so the parent's
+        # re-spawn IS the retry — nesting both would run a dead dir
+        # (retries+1)^2 times with await_tpu waits at both levels
         cmd = [sys.executable, "-m", "bench.sweep_formats",
                "--data-root", args.data_root, "--dirs", dirname,
                "--formats", args.formats, "--repeats", str(args.repeats),
-               "--retries", str(args.retries)]
+               "--retries", "0"]
         if args.width is not None:
             cmd += ["--width", str(args.width)]
         if args.synth_b:
@@ -68,6 +72,16 @@ def _isolated_main(args, dirs) -> int:
         if tmp and os.path.exists(tmp):
             with open(args.out, "a") as out_f, open(tmp) as part:
                 out_f.write(part.read())
+                if rc != 0:
+                    # the child crashed (or recorded failures) on its
+                    # final attempt — mark the group so downstream
+                    # readers never mistake a truncated group for a
+                    # complete-and-green one
+                    import json as _json
+
+                    out_f.write(_json.dumps(
+                        {"testcase": dirname, "sweep_incomplete": "1",
+                         "child_rc": rc}) + "\n")
             os.remove(tmp)
         rc_total |= rc
     return rc_total

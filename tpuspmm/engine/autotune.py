@@ -255,10 +255,14 @@ def _geom_candidates(family: str, a, b, config, k: int = GEOM_CANDIDATES_K):
         plan_bytes_cap=pair_spmm.PLAN_BYTES_CAP)
 
 
-def _pin_geom(family: str, a, geom, b, config) -> None:
+def _pin_geom(family: str, a, geom, b, config, disk: bool = True) -> None:
     """Pin ``geom`` under exactly the resolver key the registry serving
     path uses (spmm_panel/spmm_pair with the Config budget and the
-    module PLAN_BYTES_CAP)."""
+    module PLAN_BYTES_CAP).  ``disk=False`` pins the container cache
+    only — candidate MEASUREMENT uses it so a process killed mid-sweep
+    (or an all-candidates-fail path) can never leave a transient,
+    never-validated candidate as the persisted geometry another serving
+    process would resolve."""
     from tpuspmm.kernels.common import round_up
 
     n_pad = round_up(int(np.shape(b)[1]), 128)
@@ -268,13 +272,13 @@ def _pin_geom(family: str, a, geom, b, config) -> None:
         panel_spmm.pin_panel_geometry(
             a, geom, n_pad=n_pad, panel_strips=config.panel_strips,
             budget_bytes=config.vmem_budget_bytes,
-            plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP)
+            plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP, disk=disk)
     else:
         from tpuspmm.kernels import pair_spmm
 
         pair_spmm.pin_pair_geometry(
             a, geom, n_pad=n_pad, budget_bytes=config.vmem_budget_bytes,
-            plan_bytes_cap=pair_spmm.PLAN_BYTES_CAP)
+            plan_bytes_cap=pair_spmm.PLAN_BYTES_CAP, disk=disk)
 
 
 def _geom_record(family: str, geom) -> dict:
@@ -317,24 +321,36 @@ def _measure_family(family, variant, a, b_dev, config, ref, iters,
     best = None  # (ms, geom)
     gate_failed = 0
     last_exc = None
-    for g in cands:
-        try:
-            _pin_geom(family, a, g, b_dev, config)
-            out = variant.fn(a, b_dev, config)  # warm/compile this geometry
-            if ref is not None and not allclose(
-                    np.asarray(out), ref, config.rel_tol, config.abs_tol):
-                gate_failed += 1
+    try:
+        for g in cands:
+            try:
+                # container-cache-only pin: a transient candidate must
+                # never persist to the geometry disk cache (a process
+                # kill mid-sweep would otherwise leave it as THE
+                # resolved geometry for every future serving process)
+                _pin_geom(family, a, g, b_dev, config, disk=False)
+                out = variant.fn(a, b_dev, config)  # warm/compile
+                if ref is not None and not allclose(
+                        np.asarray(out), ref, config.rel_tol,
+                        config.abs_tol):
+                    gate_failed += 1
+                    continue
+                ms = device_time_ms(lambda bb: variant.fn(a, bb, config),
+                                    b_dev, iters=iters)
+            except Exception as e:
+                last_exc = e
                 continue
-            ms = device_time_ms(lambda bb: variant.fn(a, bb, config),
-                                b_dev, iters=iters)
-        except Exception as e:
-            last_exc = e
-            continue
-        if verbose:
-            print(f"# tune: {variant.name} candidate "
-                  f"{_geom_record(family, g)}: {ms:.3f} ms")
-        if best is None or ms < best[0]:
-            best = (ms, g)
+            if verbose:
+                print(f"# tune: {variant.name} candidate "
+                      f"{_geom_record(family, g)}: {ms:.3f} ms")
+            if best is None or ms < best[0]:
+                best = (ms, g)
+    finally:
+        if best is None:
+            # restore the plain resolver's pick (candidate #0 leads with
+            # it): a gate-FAILING or faulted candidate must not remain
+            # pinned for later serving of the gate-exact siblings
+            _pin_geom(family, a, cands[0], b_dev, config, disk=False)
     if best is None:
         if gate_failed:
             return None, None  # deterministic numerics failure — exclude
@@ -397,30 +413,35 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
     if results:
         # Re-anchor a resumed ranking: chip speed drifts across sessions
         # (MEMORY.md axon-tunnel-wedge), so ms measured last session is
-        # not comparable with this session's.  Variant #1 (the always-
-        # admissible XLA path) doubles as the speed anchor — re-measure
-        # it now and rescale every stored entry into this session's
-        # units before merging.
-        anchor = engine.variants[0]
-        stored = next((r for r in results if r.variant_name == anchor.name),
-                      None)
-        if stored is None:
-            # no anchor in the stored ranking — its ms are uncomparable;
-            # re-measure from scratch (keeps correctness over resume speed)
+        # not comparable with this session's.  The anchor is the first
+        # STORED entry (it was measurable last session, so it is
+        # measurable now) — variant #1 cannot serve as a fixed anchor
+        # because admission may skip it (e.g. _gather_ok at huge widths,
+        # exactly the matrices resume hardening exists for).
+        by_name = {v.name: v for v in engine.variants}
+        anchor_res = next((r for r in results
+                           if r.variant_name in by_name
+                           and not r.verified_only), None)
+        if anchor_res is None:
+            # nothing re-measurable in the stored ranking — its ms are
+            # uncomparable; re-measure from scratch (correctness over
+            # resume speed)
             results, done = [], set()
         else:
             try:
                 from tpuspmm.utils.timing import device_time_ms as _dtm
 
+                anchor = by_name[anchor_res.variant_name]
                 now_ms = _dtm(lambda bb: anchor.fn(a, bb, config), b_dev,
                               iters=iters)
-                scale = now_ms / stored.ms if stored.ms > 0 else 1.0
+                scale = now_ms / anchor_res.ms if anchor_res.ms > 0 else 1.0
                 if abs(scale - 1.0) > 0.05:
                     results = [dataclasses.replace(
                         r, ms=round(r.ms * scale, 4)) for r in results]
                     if verbose:
-                        print(f"# tune: re-anchored resumed ranking "
-                              f"(session speed ratio {scale:.3f})")
+                        print(f"# tune: re-anchored resumed ranking on "
+                              f"{anchor.name} (session speed ratio "
+                              f"{scale:.3f})")
             except Exception:
                 pass  # backend down — this session's measurements will
                 # fail too, so nothing incomparable gets merged
@@ -469,14 +490,6 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
             if family is not None and family not in family_geom:
                 ms, geom_rec = _measure_family(family, variant, a, b_dev,
                                                config, ref, iters, verbose)
-                if ms is None:
-                    if verbose:
-                        print(f"# tune: {variant.name} failed the gate; "
-                              "excluded")
-                    done.add(variant.name)  # deterministic — persist
-                    if persist:
-                        _disk_store(dkey, results, done, complete=False)
-                    continue
                 if geom_rec is not None:
                     family_geom[family] = geom_rec
             else:
@@ -484,15 +497,19 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
                 out = variant.fn(a, b_dev, config)  # warm caches/compile
                 if ref is not None and not allclose(
                         np.asarray(out), ref, config.rel_tol, config.abs_tol):
-                    if verbose:
-                        print(f"# tune: {variant.name} failed the gate; "
-                              "excluded")
-                    done.add(variant.name)  # deterministic numerics — persist
-                    if persist:
-                        _disk_store(dkey, results, done, complete=False)
-                    continue
-                ms = device_time_ms(lambda bb, v=variant: v.fn(a, bb, config),
-                                    b_dev, iters=iters)
+                    ms = None  # gate miss — shared exclusion below
+                else:
+                    ms = device_time_ms(
+                        lambda bb, v=variant: v.fn(a, bb, config),
+                        b_dev, iters=iters)
+            if ms is None:  # deterministic numerics failure — persist
+                if verbose:
+                    print(f"# tune: {variant.name} failed the gate; "
+                          "excluded")
+                done.add(variant.name)
+                if persist:
+                    _disk_store(dkey, results, done, complete=False)
+                continue
         except Exception as e:
             if verbose:
                 print(f"# tune: {variant.name} failed: {type(e).__name__}: {e}")

@@ -98,7 +98,12 @@ def _gather_ok(a, b, config):
     from tpuspmm.kernels.common import round_up
 
     n_pad = round_up(int(np.shape(b)[1]), 128)
-    return a.nnz * n_pad * 4 <= GATHER_MAX_BYTES
+    # ELL flattens ALL padded slots (incl. -1 sentinels) into triplets —
+    # the intermediate scales with rowind.size, not nnz, and a
+    # column-skewed matrix pads every column to the max count
+    count = (int(np.asarray(a.rowind).size)
+             if getattr(a, "rowind", None) is not None else a.nnz)
+    return count * n_pad * 4 <= GATHER_MAX_BYTES
 
 
 def _bsr_gather_ok(a, b, config):

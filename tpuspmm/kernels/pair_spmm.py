@@ -544,7 +544,8 @@ def pin_pair_geometry(a, geom, n_pad: int = 256, tm: int = 8,
                       tk: int = 128, reorder_rows: bool = True,
                       budget_bytes: int | None = None,
                       plan_bytes_cap: int | None = None,
-                      chunk_strips: int | None = None) -> None:
+                      chunk_strips: int | None = None,
+                      disk: bool = True) -> None:
     """Record ``geom`` as THE resolved pair geometry for these resolver
     args (container + disk cache) — see panel_spmm.pin_panel_geometry."""
     from tpuspmm.engine.report import detect_chip
@@ -555,6 +556,8 @@ def pin_pair_geometry(a, geom, n_pad: int = 256, tm: int = 8,
     cache = _container_cache(a)
     if cache is not None:
         cache[key] = geom
+    if not disk:
+        return  # transient (candidate-measurement) pin — this process only
     dkey = _geom_disk_key(a, key, thresholds())
     _geom_disk_store(dkey, None if geom is None else {
         "sm": int(geom.sm), "ch": int(geom.chunk_strips),

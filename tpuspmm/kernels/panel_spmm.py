@@ -732,7 +732,8 @@ def pin_panel_geometry(a, geom, n_pad: int = 256,
                        panel_strips: int | None = None,
                        reorder_rows: bool = True,
                        budget_bytes: int | None = None,
-                       plan_bytes_cap: int | None = None) -> None:
+                       plan_bytes_cap: int | None = None,
+                       disk: bool = True) -> None:
     """Record ``geom`` as THE resolved panel geometry for these resolver
     args (container + disk cache), so every later
     :func:`resolve_panel_geometry` call — this process or a serving
@@ -751,6 +752,8 @@ def pin_panel_geometry(a, geom, n_pad: int = 256,
     cache = _container_cache(a)
     if cache is not None:
         cache[key] = geom
+    if not disk:
+        return  # transient (candidate-measurement) pin — this process only
     dkey = _geom_disk_key(a, key, thresholds())
     _geom_disk_store(dkey, None if geom is None else {
         "p": geom.panel_strips, "sm": int(geom.sm),

@@ -149,21 +149,10 @@ def spmm_row_sharded(a, b, mesh: Mesh, axis: str = "rows",
 
 def _cached_panel_shard_plan(a, n_dev, sm, tm=8, tk=128,
                              panel_strips=16) -> RowShardedPanelPlan:
-    key = ("panel_shard", n_dev, sm, tm, tk, panel_strips)
-    cache = getattr(a, "_plan_cache", None)
-    if cache is None:
-        cache = {}
-        try:
-            object.__setattr__(a, "_plan_cache", cache)
-        except Exception:
-            cache = None
-    if cache is not None and key in cache:
-        return cache[key]
-    plan = shard_rows_panelplan(a, n_dev, tm=tm, tk=tk,
-                                panel_strips=panel_strips, sm=sm)
-    if cache is not None:
-        cache[key] = plan
-    return plan
+    return _cached_plan(
+        a, ("panel_shard", n_dev, sm, tm, tk, panel_strips),
+        lambda: shard_rows_panelplan(a, n_dev, tm=tm, tk=tk,
+                                     panel_strips=panel_strips, sm=sm))
 
 
 @functools.lru_cache(maxsize=64)
@@ -244,21 +233,10 @@ def _spmm_row_sharded_panel(a, b, mesh: Mesh, axis: str,
 
 def _cached_pair_shard_plan(a, n_dev, sm, tm=8, tk=128,
                             chunk_strips=32) -> RowShardedPairPlan:
-    key = ("pair_shard", n_dev, sm, tm, tk, chunk_strips)
-    cache = getattr(a, "_plan_cache", None)
-    if cache is None:
-        cache = {}
-        try:
-            object.__setattr__(a, "_plan_cache", cache)
-        except Exception:
-            cache = None
-    if cache is not None and key in cache:
-        return cache[key]
-    plan = shard_rows_pairplan(a, n_dev, tm=tm, tk=tk,
-                               chunk_strips=chunk_strips, sm=sm)
-    if cache is not None:
-        cache[key] = plan
-    return plan
+    return _cached_plan(
+        a, ("pair_shard", n_dev, sm, tm, tk, chunk_strips),
+        lambda: shard_rows_pairplan(a, n_dev, tm=tm, tk=tk,
+                                    chunk_strips=chunk_strips, sm=sm))
 
 
 @functools.lru_cache(maxsize=64)
@@ -396,8 +374,10 @@ def _spmm_2d_callable(mesh, m_local, **static):
 # K-sharded: A column-partitioned, partial outputs reduce-scattered
 # ---------------------------------------------------------------------------
 
-def _cached_bucket_tileplans(a, n_row, n_k, m_align=1) -> KBucketedTilePlans:
-    key = ("bucket_tileplans", n_row, n_k, m_align)
+def _cached_plan(a, key, build):
+    """Container-level plan cache shared by every bucket-plan family:
+    one place for the cache-attachment fallback (containers that refuse
+    __setattr__ just rebuild)."""
     cache = getattr(a, "_plan_cache", None)
     if cache is None:
         cache = {}
@@ -407,28 +387,23 @@ def _cached_bucket_tileplans(a, n_row, n_k, m_align=1) -> KBucketedTilePlans:
             cache = None
     if cache is not None and key in cache:
         return cache[key]
-    plans = bucket_tileplans(a, n_row, n_k, m_align=m_align)
+    plans = build()
     if cache is not None:
         cache[key] = plans
     return plans
+
+
+def _cached_bucket_tileplans(a, n_row, n_k, m_align=1) -> KBucketedTilePlans:
+    return _cached_plan(
+        a, ("bucket_tileplans", n_row, n_k, m_align),
+        lambda: bucket_tileplans(a, n_row, n_k, m_align=m_align))
 
 
 def _cached_bucket_pairplans(a, n_row, n_k, sm=None,
                              m_align=1) -> KBucketedPairPlans:
-    key = ("bucket_pairplans", n_row, n_k, sm, m_align)
-    cache = getattr(a, "_plan_cache", None)
-    if cache is None:
-        cache = {}
-        try:
-            object.__setattr__(a, "_plan_cache", cache)
-        except Exception:
-            cache = None
-    if cache is not None and key in cache:
-        return cache[key]
-    plans = bucket_pairplans(a, n_row, n_k, sm=sm, m_align=m_align)
-    if cache is not None:
-        cache[key] = plans
-    return plans
+    return _cached_plan(
+        a, ("bucket_pairplans", n_row, n_k, sm, m_align),
+        lambda: bucket_pairplans(a, n_row, n_k, sm=sm, m_align=m_align))
 
 
 def spmm_kshard(a, b, mesh: Mesh, axis: str = "rows",
