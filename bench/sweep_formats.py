@@ -36,15 +36,21 @@ def _isolated_main(args, dirs) -> int:
     if args.out and args.fresh:
         open(args.out, "w").close()  # one generation — truncate up front
     rc_total = 0
-    for dirname in dirs:
-        tmp = (args.out + f".{dirname}.part") if args.out else None
+    # per-(dir, FORMAT) granularity: a fault in one format's group (e.g.
+    # the bsr einsum OOM on large_20000) poisons the client for every
+    # later group in the same process — the ell group's records would be
+    # all-fault garbage.  One process per group bounds the blast radius
+    # to the group that faulted.
+    units = [(d, f) for d in dirs for f in args.formats.split(",")]
+    for dirname, fmt in units:
+        tmp = (args.out + f".{dirname}.{fmt}.part") if args.out else None
         # children run with --retries 0: the whole point of --isolate is
         # that a poisoned client needs a FRESH process, so the parent's
         # re-spawn IS the retry — nesting both would run a dead dir
         # (retries+1)^2 times with await_tpu waits at both levels
         cmd = [sys.executable, "-m", "bench.sweep_formats",
                "--data-root", args.data_root, "--dirs", dirname,
-               "--formats", args.formats, "--repeats", str(args.repeats),
+               "--formats", fmt, "--repeats", str(args.repeats),
                "--retries", "0"]
         if args.width is not None:
             cmd += ["--width", str(args.width)]
@@ -63,9 +69,9 @@ def _isolated_main(args, dirs) -> int:
             rc = subprocess.run(cmd).returncode
             if rc == 0 or attempt == args.retries:
                 break
-            print(f"# {dirname}: child rc={rc} — waiting for the TPU and "
-                  f"re-running the dir ({attempt + 1}/{args.retries})",
-                  file=sys.stderr)
+            print(f"# {dirname} {fmt}: child rc={rc} — waiting for the "
+                  f"TPU and re-running the group "
+                  f"({attempt + 1}/{args.retries})", file=sys.stderr)
             from bench.await_tpu import await_tpu
 
             await_tpu(budget_s=600)
@@ -80,8 +86,8 @@ def _isolated_main(args, dirs) -> int:
                     import json as _json
 
                     out_f.write(_json.dumps(
-                        {"testcase": dirname, "sweep_incomplete": "1",
-                         "child_rc": rc}) + "\n")
+                        {"testcase": dirname, "format": fmt,
+                         "sweep_incomplete": "1", "child_rc": rc}) + "\n")
             os.remove(tmp)
         rc_total |= rc
     return rc_total
