@@ -689,3 +689,83 @@ def test_gather_family_admission_caps_materialized_intermediate():
     wide = np.zeros((1, 1), np.float32)  # placeholder; use shape shim
     assert not registry._gather_ok(
         a, np.broadcast_to(wide, (140, WideB.shape[1])), cfg)
+
+
+def test_measure_family_restores_pick_when_all_candidates_fail(monkeypatch):
+    """Review r4: a gate-FAILING candidate must not remain pinned (it
+    would become THE resolved geometry for later gate-exact serving),
+    and transient candidate pins must never reach the geometry disk
+    cache."""
+    import json
+    import os
+
+    from tpuspmm.config import default_config
+    from tpuspmm.engine import autotune
+    from tpuspmm.engine.registry import KernelVariant
+    from tpuspmm.kernels import panel_spmm
+
+    a = CSR.random(128, 256, 0.1, seed=5)
+    b = np.random.default_rng(0).standard_normal((256, 32)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    cfg = default_config()
+
+    def wrong(a_, b_, config):
+        import jax.numpy as jnp
+
+        # resolve (so the pinned candidate is consumed) but return junk
+        panel_spmm.resolve_panel_geometry(
+            a_, 128, panel_strips=config.panel_strips,
+            budget_bytes=config.vmem_budget_bytes,
+            plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP)
+        return jnp.zeros((a_.shape[0], b_.shape[1]), jnp.float32)
+
+    variant = KernelVariant(7, "pallas_panel", wrong)
+    ms, rec = autotune._measure_family("panel", variant, a, b, cfg, ref,
+                                       iters=1, verbose=False)
+    assert ms is None and rec is None
+    # the resolver now returns the PLAIN search's pick, same as if the
+    # sweep never ran
+    g = panel_spmm.resolve_panel_geometry(
+        a, 128, panel_strips=cfg.panel_strips,
+        budget_bytes=cfg.vmem_budget_bytes,
+        plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP)
+    a2 = CSR(a.indptr, a.indices, a.values, a.shape)  # no container cache
+    g2 = panel_spmm.resolve_panel_geometry(
+        a2, 128, panel_strips=cfg.panel_strips,
+        budget_bytes=cfg.vmem_budget_bytes,
+        plan_bytes_cap=panel_spmm.PLAN_BYTES_CAP)
+    assert (g.tm, g.panel_strips, g.tk, g.order_kind) == (
+        g2.tm, g2.panel_strips, g2.tk, g2.order_kind)
+
+
+def test_tune_resume_survives_inadmissible_first_variant(tmp_path,
+                                                         monkeypatch):
+    """Review r4: the resume re-anchor must not require variant #1 in
+    the stored ranking — admission may legitimately skip it (gather cap
+    at huge widths), and a wiped resume would re-measure forever on
+    exactly the OOM-prone matrices the hardening exists for."""
+    import dataclasses as dc
+    import json
+
+    from tpuspmm.engine import autotune
+    from tpuspmm.engine.registry import get_engine
+
+    monkeypatch.setenv("TPUSPMM_TUNE_CACHE", str(tmp_path / "t.json"))
+    a = CSR.random(90, 120, 0.1, seed=7)
+    b = np.random.default_rng(1).standard_normal((120, 32)).astype(np.float32)
+    # full tune, then surgically remove variant #1 from the stored entry
+    autotune.tune(a, b, iters=1)
+    data = json.load(open(tmp_path / "t.json"))
+    (key, entry), = data.items()
+    entry["results"] = [r for r in entry["results"]
+                        if r["variant_name"] != "xla_segment_sum"]
+    entry["done"] = [d for d in entry["done"] if d != "xla_segment_sum"]
+    entry["complete"] = False
+    json.dump(data, open(tmp_path / "t.json", "w"))
+
+    a2 = CSR(a.indptr, a.indices, a.values, a.shape)
+    ranking = autotune.tune(a2, b, iters=1)
+    names = {r.variant_name for r in ranking}
+    # the stored (anchor-less-by-old-rules) entries survived the resume
+    assert len(names) > 1
+    assert "xla_segment_sum" in names  # and the removed one was re-measured
