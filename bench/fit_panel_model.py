@@ -81,14 +81,17 @@ def fit(records):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    p.add_argument("jsonl", help="ablate_panel output (JSONL)")
+    p.add_argument("jsonl", nargs="+",
+                   help="ablate_panel output file(s) (JSONL) — multiple "
+                        "same-session files pool into one fit")
     args = p.parse_args(argv)
     records = []
-    with open(args.jsonl) as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith("{"):
-                records.append(json.loads(line))
+    for path in args.jsonl:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    records.append(json.loads(line))
     try:
         constants, rms_ms, n = fit(records)
     except ValueError as e:
