@@ -33,11 +33,37 @@ def spmm_csr_oracle(a: CSR, b: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def _accumulate_triplets_f64(rows, cols, vals, num_rows: int,
+                             b: np.ndarray) -> np.ndarray:
+    """Row-sorted, slab-bounded f64 triplet accumulation (duplicates
+    accumulate).  The naive ``vals[:, None] * b[cols]`` materializes an
+    (nnz, n) f64 intermediate — 22 GB of HOST RAM for large_20000 at its
+    on-disk width 20000 — and ``np.add.at`` element-loops over it
+    (observed: the oracle alone ran >29 min and thrashed).  Slabs cap
+    the intermediate at ~64 MB and ``np.add.reduceat`` does the per-row
+    segment sums at C speed; only the (few) distinct rows per slab go
+    through ``np.add.at``."""
+    out = np.zeros((num_rows, b.shape[1]), dtype=np.float64)
+    if len(rows) == 0:
+        return out
+    order = np.argsort(rows, kind="stable")
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    step = max(1, (64 << 20) // max(int(b.shape[1]) * 8, 1))
+    for s in range(0, len(rows), step):
+        r = rows[s:s + step]
+        contrib = vals[s:s + step, None] * b[cols[s:s + step]]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(r)) + 1])
+        sums = np.add.reduceat(contrib, starts, axis=0)
+        # a row can span a slab boundary — add, don't assign
+        np.add.at(out, r[starts], sums)
+    return out
+
+
 def spmm_coo_oracle(a: COO, b: np.ndarray) -> np.ndarray:
     b = np.asarray(b, dtype=np.float64)
-    out = np.zeros((a.shape[0], b.shape[1]), dtype=np.float64)
-    contrib = np.asarray(a.values, dtype=np.float64)[:, None] * b[np.asarray(a.cols)]
-    np.add.at(out, np.asarray(a.rows), contrib)
+    out = _accumulate_triplets_f64(
+        np.asarray(a.rows), np.asarray(a.cols),
+        np.asarray(a.values, dtype=np.float64), a.shape[0], b)
     return out.astype(np.float32)
 
 
@@ -57,16 +83,21 @@ def spmm_bsr_oracle(a: BSR, b: np.ndarray) -> np.ndarray:
 
 
 def spmm_ell_oracle(a: ELL, b: np.ndarray) -> np.ndarray:
+    """Column-slot scatter (≙ spmmELLCpu) via the shared slab-bounded
+    triplet accumulator: slots flatten to (row, col, val) triplets with
+    -1-sentinel slots dropped; duplicate coordinates accumulate."""
     b = np.asarray(b, dtype=np.float64)
-    out = np.zeros((a.shape[0], b.shape[1]), dtype=np.float64)
     rowind = np.asarray(a.rowind)
     values = np.asarray(a.values, dtype=np.float64)
-    ncols, mcn = rowind.shape if rowind.size else (a.shape[1], 0)
-    for k in range(mcn):
-        rows = rowind[:, k]
-        mask = rows >= 0
-        contrib = values[mask, k][:, None] * b[np.arange(ncols)[mask]]
-        np.add.at(out, rows[mask], contrib)
+    if rowind.size == 0:
+        return np.zeros((a.shape[0], b.shape[1]), dtype=np.float32)
+    ncols, mcn = rowind.shape
+    cols = np.repeat(np.arange(ncols), mcn)
+    rows = rowind.reshape(-1)
+    vals = values.reshape(-1)
+    mask = rows >= 0
+    out = _accumulate_triplets_f64(rows[mask], cols[mask], vals[mask],
+                                   a.shape[0], b)
     return out.astype(np.float32)
 
 
