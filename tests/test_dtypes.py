@@ -91,3 +91,48 @@ def test_astype_round_trip_bf16_values():
     # bf16 round trip loses at most 2^-9 relative
     np.testing.assert_allclose(np.asarray(back.values),
                                np.asarray(a.values), rtol=4e-3)
+
+
+def test_bf16_ingestion_panel_pair(case):
+    """The flagship panel/pair kernels accept bf16-ingested B and stay
+    gate-exact vs the f64 oracle of the bf16 operand (the pruned-LLM
+    serving mode measured as bf16_serving_ms in bench.py)."""
+    from tpuspmm.kernels import panel_spmm, pair_spmm
+
+    a, b16, ref = case
+    for name, fn in [
+        ("panel", lambda: panel_spmm.spmm_panel(a, b16, interpret=True)),
+        ("pair", lambda: pair_spmm.spmm_pair(a, b16, interpret=True)),
+    ]:
+        out = np.asarray(fn())
+        assert out.dtype == np.float32, name
+        assert allclose(out, ref, 1e-2, 1e-3), name
+
+
+def _count_dots(fn, *args):
+    import jax
+
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    return str(jaxpr).count("dot_general")
+
+
+def test_panel_matmul_pass_ladder():
+    """panel_matmul picks the cheapest MXU-pass ladder for the operand
+    dtypes: bf16 plan x bf16 B is ONE exact pass (the bf16-serving win
+    bench.py measures), bf16 plan x f32 B is 3 passes gate-exact at
+    'highest' and 2 at the verified-only tier, f32 x f32 'highest' is a
+    single HIGHEST dot."""
+    from tpuspmm.kernels.panel_spmm import panel_matmul
+
+    a16 = jnp.zeros((32, 128), jnp.bfloat16)
+    a32 = jnp.zeros((32, 128), jnp.float32)
+    b16 = jnp.zeros((128, 64), jnp.bfloat16)
+    b32 = jnp.zeros((128, 64), jnp.float32)
+    # (a dtype, b dtype, internal mode) -> expected dot_general count
+    assert _count_dots(lambda x, y: panel_matmul(x, y, "highest"), a16, b16) == 1
+    assert _count_dots(lambda x, y: panel_matmul(x, y, "split"), a16, b16) == 1
+    assert _count_dots(lambda x, y: panel_matmul(x, y, "highest"), a16, b32) == 3
+    assert _count_dots(lambda x, y: panel_matmul(x, y, "split"), a16, b32) == 2
+    assert _count_dots(lambda x, y: panel_matmul(x, y, "highest"), a32, b16) == 3
+    assert _count_dots(lambda x, y: panel_matmul(x, y, "split"), a32, b16) == 2
+    assert _count_dots(lambda x, y: panel_matmul(x, y, "highest"), a32, b32) == 1
