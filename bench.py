@@ -147,6 +147,29 @@ def _run(argv, degraded: bool = False) -> int:
         print(f"# vendor baseline failed: {e}", file=sys.stderr)
         t_vendor = float("nan")
 
+    # bf16-ingested serving (the pruned-LLM deployment mode: activations
+    # arrive bf16).  The panel plan stores bf16 losslessly on this matrix
+    # (values are ±1) and panel_matmul's fidelity lattice then needs ONE
+    # exact MXU pass (a_exact & b_exact) instead of the f32 path's 2–6 —
+    # measured as extra headline fields, never allowed to break the
+    # driver's one-JSON-line contract.
+    bf16_ms = None
+    bf16_correct = None
+    try:
+        import ml_dtypes
+
+        b16 = jnp.asarray(b.astype(ml_dtypes.bfloat16))
+        out16 = serve(b16)
+        ref16 = oracle.spmm_scipy_oracle(
+            a, b.astype(ml_dtypes.bfloat16).astype(np.float64))
+        bf16_correct = bool(allclose(np.asarray(out16), ref16, 1e-2, 1e-3))
+        bf16_ms = _device_seconds(serve, b16, iters=args.repeats) * 1e3
+        print(f"# bf16-ingested serving: {bf16_ms:.3f} ms "
+              f"(correct={bf16_correct})", file=sys.stderr)
+    except Exception as e:
+        print(f"# bf16-ingested serving skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     n = b.shape[1]
     flops = 2.0 * a.nnz * n
     gflops = flops / t_ours / 1e9
@@ -176,6 +199,9 @@ def _run(argv, degraded: bool = False) -> int:
         "correct": bool(correct),
         "backend": jax.default_backend(),
     }
+    if bf16_ms is not None:
+        record["bf16_serving_ms"] = round(bf16_ms, 4)
+        record["bf16_serving_correct"] = bf16_correct
     if ranking and ranking[0].geom is not None:
         # geometry provenance of the served kernel (tm/P/tk/sm/order/
         # plan_mb for panel; CH/sm/tile_n/order/plan_mb for pair) — a

@@ -32,6 +32,11 @@ def main(argv=None) -> int:
     p.add_argument("--block", type=int, default=4)
     p.add_argument("--repeats", type=int, default=12)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--b-dtype", default="f32", choices=["f32", "bf16"],
+                   help="activation ingestion dtype — bf16 is how "
+                        "activations actually arrive in LLM serving; "
+                        "the gate then checks vs the f64 oracle OF THE "
+                        "bf16 VALUES (see tpuspmm.cli --b-dtype)")
     args = p.parse_args(argv)
 
     import jax
@@ -48,6 +53,12 @@ def main(argv=None) -> int:
     engine = get_engine("bsr")
     rng = np.random.default_rng(args.seed)
     b = rng.standard_normal((args.dim, args.width)).astype(np.float32) * 0.05
+    if args.b_dtype == "bf16":
+        import ml_dtypes
+
+        # the oracle sees the bf16 values (upcast): the gate checks the
+        # numerics of the operand actually served, not a different input
+        b = b.astype(ml_dtypes.bfloat16)
     b_dev = jnp.asarray(b)
     print(f"# backend={jax.default_backend()}, RTT {tunnel_rtt_ms():.1f} ms",
           file=sys.stderr)
@@ -79,7 +90,8 @@ def main(argv=None) -> int:
                                 "correct": bool(ok)})
 
     print(json.dumps({"dim": args.dim, "width": args.width,
-                      "block": args.block, "results": all_results}))
+                      "block": args.block, "bDtype": args.b_dtype,
+                      "results": all_results}))
     return 0
 
 

@@ -56,6 +56,8 @@ def _isolated_main(args, dirs) -> int:
             cmd += ["--width", str(args.width)]
         if args.synth_b:
             cmd.append("--synth-b")
+        if args.b_dtype != "f32":
+            cmd += ["--b-dtype", args.b_dtype]
         if args.skip_seq:
             cmd.append("--skip-seq")
         if args.no_vendor:
@@ -67,7 +69,9 @@ def _isolated_main(args, dirs) -> int:
             cmd += ["--out", tmp, "--fresh"]
         for attempt in range(args.retries + 1):
             rc = subprocess.run(cmd).returncode
-            if rc == 0 or attempt == args.retries:
+            # rc 1 = deterministic numerics failure — retrying replays
+            # the same records; only faults (rc 2) and crashes re-spawn
+            if rc in (0, 1) or attempt == args.retries:
                 break
             print(f"# {dirname} {fmt}: child rc={rc} — waiting for the "
                   f"TPU and re-running the group "
@@ -78,11 +82,13 @@ def _isolated_main(args, dirs) -> int:
         if tmp and os.path.exists(tmp):
             with open(args.out, "a") as out_f, open(tmp) as part:
                 out_f.write(part.read())
-                if rc != 0:
-                    # the child crashed (or recorded failures) on its
+                if rc not in (0, 1):
+                    # the child crashed or stayed device-faulted on its
                     # final attempt — mark the group so downstream
                     # readers never mistake a truncated group for a
-                    # complete-and-green one
+                    # complete-and-green one (rc 1 = numerics misses:
+                    # the group is complete, its incorrect records are
+                    # visible per-record)
                     import json as _json
 
                     out_f.write(_json.dumps(
@@ -102,6 +108,10 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--synth-b", action="store_true",
                    help="ignore on-disk dense operands; synthesise B of --width")
+    p.add_argument("--b-dtype", default="f32", choices=["f32", "bf16"],
+                   help="dense-operand ingestion dtype (bf16 = the "
+                        "pruned-LLM serving mode; records carry "
+                        "bDtype=bf16 — see tpuspmm.cli --b-dtype)")
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--skip-seq", action="store_true")
     p.add_argument("--no-vendor", action="store_true")
@@ -155,6 +165,7 @@ def main(argv=None) -> int:
                    for r in records)
 
     failures = 0
+    faulted_groups = 0
     verified_only_misses = 0
     try:
         for dirname in dirs:
@@ -166,6 +177,10 @@ def main(argv=None) -> int:
                 print(f"# skip {dirname}: {e}", file=sys.stderr)
                 continue
             b = np.asarray(dense.data, dtype=np.float32)
+            if args.b_dtype == "bf16":
+                import ml_dtypes
+
+                b = b.astype(ml_dtypes.bfloat16)  # run_engine serves as-is
             for fmt in formats:
                 try:
                     a = convert.load_sparse(data_dir, fmt)
@@ -192,6 +207,15 @@ def main(argv=None) -> int:
                             extra={"error": f"{type(e).__name__}: {e}",
                                    "device_fault": "1"})]
                     if not _group_faulted(records) or attempt == args.retries:
+                        if _group_faulted(records):
+                            # the group is shipping with a fault after the
+                            # last attempt — reflect it in the exit code so
+                            # an --isolate parent (whose children run with
+                            # --retries 0) knows to re-spawn the group in a
+                            # fresh process.  Round-4's small_210 csr/coo
+                            # groups shipped 2-record stubs precisely
+                            # because a faulted child exited rc=0 here.
+                            faulted_groups += 1
                         break
                     print(f"# {dirname} {fmt}: device fault — waiting for "
                           f"the TPU and retrying "
@@ -220,10 +244,14 @@ def main(argv=None) -> int:
     finally:
         if args.out:
             out_stream.close()
-    print(f"# sweep done, {failures} incorrect records "
+    print(f"# sweep done, {failures} incorrect records, "
+          f"{faulted_groups} groups still faulted "
           f"({verified_only_misses} verified-only variants correctly "
           f"reported inadmissible)", file=sys.stderr)
-    return 1 if failures else 0
+    # rc 1 = numerics failures (deterministic); rc 2 = device-faulted
+    # group survived the in-process retries (an --isolate parent retries
+    # any non-zero rc in a fresh process)
+    return 1 if failures else (2 if faulted_groups else 0)
 
 
 if __name__ == "__main__":

@@ -140,6 +140,24 @@ def test_timing_module_cpu():
     assert ms > 0
 
 
+def test_timing_module_bf16_operand():
+    """The timing chain must be type-stable for a bf16-ingested operand
+    (--b-dtype bf16): the carried perturbation `b0 + ds` once promoted
+    the bf16 carry to f32 and fori_loop rejected the signature — only on
+    paths that call device_time_ms (i.e. real-TPU sweeps), invisible to
+    the CPU engine tests."""
+    import jax.numpy as jnp
+
+    from tpuspmm.utils import timing
+
+    w = jnp.ones((64, 64), jnp.bfloat16)
+    ms = timing.device_time_ms(
+        lambda b: jnp.dot(w, b, preferred_element_type=jnp.float32),
+        jnp.ones((64, 64), jnp.bfloat16), iters=4, repeats=2,
+    )
+    assert ms > 0
+
+
 def test_spmm_fn_gradient_matches_dense():
     import jax
     import jax.numpy as jnp
@@ -672,6 +690,37 @@ def test_sweep_formats_retries_device_faults(tmp_path, monkeypatch):
         "only the final attempt's records should be emitted")
 
 
+def test_sweep_formats_exhausted_fault_exits_rc2(tmp_path, monkeypatch):
+    """A group still device-faulted after the in-process retries must exit
+    rc 2 — an --isolate parent spawns children with --retries 0 and uses
+    the child's rc as its ONLY retry signal.  Round-4's small_210 csr/coo
+    groups shipped 2-record stubs because a faulted child exited 0."""
+    from bench import sweep_formats
+
+    def fake_run_engine(engine, a, b, **kw):
+        from tpuspmm.engine.report import make_record
+
+        rec = make_record(testcase=kw.get("testcase", "t"), sparsity=0.1,
+                          fmt="csr", nnz=10, shape=(4, 4), n=4,
+                          kernel_type=1, kernel_name="boom",
+                          extra={"error": "UNAVAILABLE: TPU device error"})
+        rec["device_fault"] = "1"
+        return [rec]
+
+    import bench.await_tpu as await_mod
+
+    monkeypatch.setattr(await_mod, "await_tpu", lambda budget_s=600: True)
+    monkeypatch.setattr("tpuspmm.engine.runner.run_engine", fake_run_engine)
+    monkeypatch.setattr(sweep_formats, "run_engine", fake_run_engine,
+                        raising=False)
+
+    out = tmp_path / "sweep.jsonl"
+    rc = sweep_formats.main([
+        "--data-root", "data", "--dirs", "small_32x32", "--formats", "csr",
+        "--out", str(out), "--fresh", "--retries", "1", "--skip-seq"])
+    assert rc == 2, "exhausted device fault must be visible in the rc"
+
+
 def test_gather_family_admission_caps_materialized_intermediate():
     """The XLA gather+segment-sum lowering materializes an (nnz, n)
     intermediate; at large_20000's reference width (n=20000) that is
@@ -769,3 +818,27 @@ def test_tune_resume_survives_inadmissible_first_variant(tmp_path,
     # the stored (anchor-less-by-old-rules) entries survived the resume
     assert len(names) > 1
     assert "xla_segment_sum" in names  # and the removed one was re-measured
+
+
+def test_run_engine_bf16_ingested_operand(small):
+    """CLI --b-dtype bf16 (the pruned-LLM serving mode): run_engine serves
+    the bf16 operand as-is — every variant and the vendor baseline are
+    gated against the f64 oracle OF THE bf16 VALUES, and records carry
+    bDtype=bf16 so sweep artifacts distinguish the serving dtype."""
+    import ml_dtypes
+
+    from tpuspmm.engine.registry import get_engine
+    from tpuspmm.engine.runner import run_engine
+
+    a, b, _ = small
+    b16 = b.astype(ml_dtypes.bfloat16)
+    records = run_engine(get_engine("csr"), b=b16, a=a, testcase="t",
+                         repeats=1, emit=False)
+    assert records and all(r.get("bDtype") == "bf16" for r in records)
+    bad = [r for r in records if r.get("correct") == "0"
+           and r.get("verifiedOnly") != "1"]
+    assert not bad, bad
+    # and an f32 operand must NOT be tagged
+    recs32 = run_engine(get_engine("csr"), b=b, a=a, testcase="t",
+                        repeats=1, emit=False)
+    assert not any("bDtype" in r for r in recs32)

@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto", action="store_true", help="format-selection engine picks the format")
     p.add_argument("-d", "--data-dir", required=True, help="data directory (reference layout)")
     p.add_argument("--width", type=int, default=None, help="dense-operand width when synthesising B")
+    p.add_argument("--b-dtype", default="f32", choices=["f32", "bf16"],
+                   help="dense-operand ingestion dtype: bf16 is the "
+                        "pruned-LLM serving mode (panel/pair then need a "
+                        "single exact MXU pass); the gate checks every "
+                        "variant against the f64 oracle OF THE bf16 "
+                        "OPERAND, records carry bDtype=bf16")
     p.add_argument("--skip-seq", action="store_true", help="skip the sequential oracle (verify vs scipy)")
     p.add_argument("--no-vendor", action="store_true", help="skip the jax.experimental.sparse baseline")
     p.add_argument("--repeats", type=int, default=3, help="steady-state timing repeats")
@@ -90,6 +96,10 @@ def main(argv=None) -> int:
     testcase = os.path.basename(os.path.normpath(args.data_dir))
     dense = convert.load_dense(args.data_dir, width=args.width)
     b = np.asarray(dense.data, dtype=np.float32)
+    if args.b_dtype == "bf16":
+        import ml_dtypes
+
+        b = b.astype(ml_dtypes.bfloat16)  # run_engine serves it as-is
 
     out_stream = open(args.out, "a") if args.out else None
     status = 0

@@ -81,7 +81,15 @@ def run_engine(
     import jax.numpy as jnp
 
     config = config or default_config()
-    b_host = np.asarray(b, dtype=np.float32)
+    # respect a bf16-ingested dense operand (the pruned-LLM serving
+    # dtype — CLI --b-dtype bf16): every variant and both oracles then
+    # compute on the bf16 values (the oracles upcast them to f64), so
+    # the gate checks the numerics of the operand actually served;
+    # anything else is normalised to the reference's float32
+    # (reference/src/main.cu:185).
+    b_host = np.asarray(b)
+    if b_host.dtype.name != "bfloat16":
+        b_host = b_host.astype(np.float32)
     records: List[dict] = []
     backend = jax.default_backend()
     common = dict(
@@ -223,6 +231,9 @@ def run_engine(
             )
         records.append(rec)
 
+    if b_host.dtype.name == "bfloat16":
+        for rec in records:
+            rec["bDtype"] = "bf16"
     if emit:
         for rec in records:
             report_mod.emit(rec)

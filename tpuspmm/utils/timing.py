@@ -91,8 +91,12 @@ def device_time_ms(fn: Callable, b, iters: int = 16, repeats: int = 3) -> float:
         def body(i, carry):
             bc, s = carry
             c = fn(bc)
-            ds = jnp.sum(c).astype(b0.dtype) * jnp.float32(1e-30)
-            return (b0 + ds, s + ds)
+            # perturbation math stays f32; the carried operand is cast
+            # back to b0's dtype so the loop carry is type-stable for
+            # non-f32 ingestion (bf16 + f32 otherwise promotes the carry
+            # to f32 and fori_loop rejects the mismatched signature)
+            ds = jnp.sum(c).astype(jnp.float32) * jnp.float32(1e-30)
+            return ((b0 + ds).astype(b0.dtype), s + ds)
 
         _, s = jax.lax.fori_loop(0, iters, body, (b0, jnp.float32(0.0)))
         return s
