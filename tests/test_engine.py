@@ -426,6 +426,22 @@ def test_autotune_key_carries_config_fingerprint():
     assert autotune._disk_key(a, b, c1) == autotune._disk_key(a, b, c4)
 
 
+def test_autotune_key_carries_serving_dtype(small):
+    """A bf16-ingested ranking (--b-dtype bf16) must not be served for
+    f32 operands or vice versa — the winners and the gate both differ —
+    and tune() must measure on the ingested dtype, not silently upcast."""
+    import ml_dtypes
+
+    from tpuspmm.engine import autotune
+
+    a, b, _ = small
+    b16 = b.astype(ml_dtypes.bfloat16)
+    assert autotune._disk_key(a, b, None) != autotune._disk_key(a, b16, None)
+    assert autotune._tune_key(b, None) != autotune._tune_key(b16, None)
+    ranking = autotune.tune(a, b16, iters=1, use_disk_cache=False)
+    assert ranking and not all(r.verified_only for r in ranking)
+
+
 def test_autotune_budget_and_resume(tmp_path, monkeypatch):
     """VERDICT r2 #6: a budgeted-out (or killed) tune run persists partial
     results atomically and resumes without re-measuring finished

@@ -64,7 +64,9 @@ def _config_fp(config=None) -> str:
 
 
 def _tune_key(b, config=None) -> tuple:
-    return ("tuned", int(np.shape(b)[1]), _config_fp(config))
+    # serving dtype is part of the key (bf16-ingested rankings differ)
+    bdt = getattr(np.asarray(b).dtype, "name", "float32")
+    return ("tuned", int(np.shape(b)[1]), _config_fp(config), bdt)
 
 
 def _as_tunable(a):
@@ -172,9 +174,15 @@ def _disk_key(a, b, config=None) -> str:
     # resolves — both caches must turn over together.
     th_fp = hashlib.sha1(repr(sorted(thresholds().items())).encode()
                          ).hexdigest()[:8]
+    # the serving dtype is part of the key: a bf16-ingested ranking
+    # (--b-dtype bf16 — different pass ladders, different winners) must
+    # never be served for f32 operands or vice versa.  f32 keys keep the
+    # historical spelling so existing caches survive.
+    bdt = getattr(np.asarray(b).dtype, "name", "float32")
+    dt = "" if bdt == "float32" else f":d{bdt}"
     return (f"v4:{matrix_digest(a)}:{a.format_name}:n{int(np.shape(b)[1])}"
             f":{detect_chip()}:e{_engine_rev(a.format_name)}"
-            f":c{_config_fp(config)}:t{th_fp}")
+            f":c{_config_fp(config)}:t{th_fp}{dt}")
 
 
 def _disk_load(key: str) -> Optional[Tuple[List[TuneResult], Set[str], bool]]:
@@ -393,7 +401,14 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
     config = config or default_config()
     a = _as_tunable(a)
     engine = get_engine(a.format_name)
-    b_dev = jnp.asarray(b, dtype=jnp.float32)
+    # preserve a bf16-ingested operand (mirrors run_engine): the ranking
+    # must be measured on the dtype it will serve — bf16 changes both
+    # the winners (single exact MXU pass vs split ladders) and the gate
+    # (checked vs the f64 oracle OF the bf16 values)
+    b_np = np.asarray(b)
+    if b_np.dtype.name != "bfloat16":
+        b_np = b_np.astype(np.float32)
+    b_dev = jnp.asarray(b_np)
 
     dkey = _disk_key(a, b, config) if use_disk_cache else None
     results: List[TuneResult] = []
