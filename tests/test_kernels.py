@@ -300,3 +300,73 @@ def test_dispatch_panel_vs_pair_by_modelled_cost(monkeypatch):
     out2 = np.asarray(dispatch.spmm_pallas(a, b, interpret=True))
     assert served == []
     assert allclose(out2, oracle.spmm_scipy_oracle(a, b), 1e-2, 1e-3)
+
+
+def test_staged_b_kslab_matches_whole_b():
+    """K-slab staged B (csr_vmem): when whole B exceeds the VMEM budget,
+    the kernel stages (slab_k x n) stripes and accumulates the output
+    block across the minor slab grid dimension.  Slabbed and whole-B
+    results must agree with the oracle and each other, including a
+    bf16-ingested operand and a budget forcing >2 slabs."""
+    from tpuspmm.kernels import csr_vmem
+    from tpuspmm.formats.tiles import plan_from_container
+
+    rng = np.random.default_rng(5)
+    a = CSR.from_scipy(_rand(300, 511, 0.08, seed=5))
+    b = rng.uniform(-1, 1, (511, 200)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+
+    plan = plan_from_container(a)
+    k_pad = plan.num_k_tiles * plan.tile_k            # 512
+    n_pad = 256
+    chunk_bytes = plan.num_chunks * plan.chunk * 12
+    whole = csr_vmem.spmm_staged(plan, b, interpret=True,
+                                 budget_bytes=64 * 1024 * 1024)
+    # budget admits one-or-two 128-row stripes but not whole B
+    tight = (2 * plan.tile_m * n_pad * 4 + chunk_bytes
+             + 2 * plan.tile_k * n_pad * 4)
+    assert not csr_vmem.fits_vmem(k_pad, n_pad, plan.tile_m, tight,
+                                  chunk_bytes)
+    assert csr_vmem.max_slab_k(k_pad, n_pad, plan.tile_m, plan.tile_k,
+                               tight, chunk_bytes) >= plan.tile_k
+    slabbed = csr_vmem.spmm_staged(plan, b, interpret=True,
+                                   budget_bytes=tight)
+    assert allclose(np.asarray(whole), ref, 1e-2, 1e-3)
+    assert allclose(np.asarray(slabbed), ref, 1e-2, 1e-3)
+    # slabbed accumulation reassociates the per-k-tile partial sums
+    # (per-slab f32 adds into the output block), so bit-equality with
+    # the whole-B order is not expected — hold them to the gate tolerance
+    assert allclose(np.asarray(slabbed), np.asarray(whole), 1e-3, 1e-4)
+
+    # bf16-ingested operand through the slab path
+    import ml_dtypes
+
+    b16 = b.astype(ml_dtypes.bfloat16)
+    ref16 = oracle.spmm_oracle(a, np.asarray(b16).astype(np.float64))
+    out16 = csr_vmem.spmm_staged(plan, b16, interpret=True,
+                                 budget_bytes=tight)
+    assert allclose(np.asarray(out16), ref16, 1e-2, 1e-3)
+
+    # and a budget so tight no stripe fits -> explicit inadmissible error
+    with pytest.raises(ValueError):
+        csr_vmem.spmm_staged(plan, b, interpret=True, budget_bytes=1024)
+
+
+def test_staged_b_kslab_widens_engine_admission():
+    """The staged-B variant's admission gate follows the k-slab rule: a
+    matrix whose whole B bursts the budget but whose tile_k stripe fits
+    must be admissible (it was 'inadmissible' on the entire medium corpus
+    under the whole-B rule)."""
+    import dataclasses as dc
+
+    from tpuspmm.engine.registry import get_engine
+
+    a = CSR.from_scipy(_rand(256, 2048, 0.02, seed=9))
+    b = np.zeros((2048, 512), np.float32)
+    # whole B = 2048*512*4 = 4 MiB; budget 2 MiB: stripe = 128*512*4 = 256 KiB
+    cfg = dc.replace(CFG, vmem_budget_bytes=2 * 1024 * 1024)
+    v = [v for v in get_engine("csr").variants
+         if v.name == "pallas_staged_b"][0]
+    assert v.admissible(a, b, cfg)
+    out = v.fn(a, b, cfg)
+    assert allclose(np.asarray(out), oracle.spmm_oracle(a, b), 1e-2, 1e-3)

@@ -150,14 +150,16 @@ def _staged_ok(a, b, config):
 
     k_pad = round_up(a.shape[1], config.tile_k)
     n_pad = round_up(b.shape[1], 128)
-    # the real chunk payload must fit alongside B (plan is cached, so this
-    # costs nothing in steady state) — must match spmm_staged's own gate
+    # the real chunk payload must fit alongside one B stripe (plan is
+    # cached, so this costs nothing in steady state) — must match
+    # spmm_staged's own gate: whole B is the fast case, a k-slab stripe
+    # of at least tile_k rows the widened one
     plan = plan_from_container(a, tile_m=config.tile_m, tile_k=config.tile_k,
                                chunk=config.chunk_nnz)
     chunk_bytes = plan.num_chunks * plan.chunk * 12
-    return csr_vmem.fits_vmem(k_pad, n_pad, config.tile_m,
-                              budget_bytes=config.vmem_budget_bytes,
-                              chunk_bytes=chunk_bytes)
+    return csr_vmem.max_slab_k(k_pad, n_pad, config.tile_m, config.tile_k,
+                               budget_bytes=config.vmem_budget_bytes,
+                               chunk_bytes=chunk_bytes) >= config.tile_k
 
 
 def _densify_matmul(a, b, config):
@@ -328,7 +330,7 @@ def build_engines() -> Dict[str, Engine]:
                 KernelVariant(2, "pallas_tile_mxu", _tile,
                               "nnz-balanced tile chunks, MXU one-hot densify (≙ K2 merge-path, spmm_csr_k2.cu:10-58)"),
                 KernelVariant(3, "pallas_staged_b", _staged,
-                              "whole B staged in VMEM (≙ K4 smem staging, spmm_csr_k4.cu:12-79)",
+                              "B staged in VMEM, whole or k-slabbed (≙ K4 smem staging, spmm_csr_k4.cu:12-79)",
                               admissible=_staged_ok),
                 KernelVariant(4, "xla_densify_matmul", _densify_matmul,
                               "on-device densify + one dense MXU matmul (wins the high-density sweep)",
@@ -427,7 +429,7 @@ def build_engines() -> Dict[str, Engine]:
                               "run-length panels, in-kernel DMA strip runs",
                               admissible=_pair_ok),
                 KernelVariant(6, "pallas_staged_b", _staged,
-                              "whole B staged in VMEM over ELL slot chunks "
+                              "B staged in VMEM (whole or k-slabbed) over ELL slot chunks "
                               "(≙ K8 staged-B, spmm_ell_k2.cu:11-54 — the "
                               "reference registers it at engine_ell.hpp:72-74 "
                               "though its default loop never reaches it)",

@@ -1,16 +1,25 @@
-"""Pallas staged-B SpMM: whole dense operand resident in VMEM.
+"""Pallas staged-B SpMM: dense operand resident in VMEM.
 
 TPU-native counterpart of the reference's shared-memory staged kernel
 `spmmCSRK4` (reference/src/spmm/csr/spmm_csr_k4.cu:12-79), which stages A
 rows and whole B columns in CUDA shared memory and tree-reduces with warp
-shuffles.  Here the *entire padded B* is pinned in VMEM (the 16-128 MiB TPU
+shuffles.  Here the padded B is pinned in VMEM (the 16-128 MiB TPU
 analogue of the 48 KiB smem budget), the grid walks row tiles, and each row
 tile's nnz chunks are densified and matmul'd against dynamically-sliced B
 panels — zero HBM re-reads of B per row tile.
 
+When whole B exceeds the budget, B is staged in **k-slabs**: the grid
+gains a minor slab dimension, each (row tile, slab) step stages one
+(slab_k × n) horizontal stripe of B, chunks are grouped per (row tile,
+slab) host-side, and the output block accumulates across the slab steps
+(same revisit pattern as a tiled matmul's contraction dimension).  This
+widens admission from "B fits VMEM" to "one tile_k stripe of B fits" —
+the whole medium corpus at on-disk widths, where the whole-B stage was
+inadmissible.
+
 Like the reference kernel, admission is gated by a fit heuristic
-(spmm_csr_k4.cu:91-101): `fits_vmem` must hold or the caller falls back to
-the streaming tile kernel.
+(spmm_csr_k4.cu:91-101): `max_slab_k` must be ≥ tile_k or the caller
+falls back to the streaming tile kernel.
 """
 
 from __future__ import annotations
@@ -35,9 +44,24 @@ def fits_vmem(
     return (b_bytes + 2 * out_bytes + chunk_bytes) <= budget_bytes
 
 
+def max_slab_k(
+    k_pad: int, n_pad: int, tile_m: int, tile_k: int,
+    budget_bytes: int = 8 * 1024 * 1024, chunk_bytes: int = 0,
+) -> int:
+    """Largest k-slab height (a multiple of tile_k, ≤ k_pad) whose B
+    stripe fits the VMEM stage alongside the output tile and the chunk
+    payload; 0 when not even one tile_k stripe fits (→ inadmissible)."""
+    avail = budget_bytes - 2 * tile_m * n_pad * 4 - chunk_bytes
+    if avail <= 0:
+        return 0
+    slab = (avail // (n_pad * 4)) // tile_k * tile_k
+    return int(min(max(slab, 0), k_pad))
+
+
 def _kernel(kt_ref, start_ref, end_ref, rows_ref, cols_ref, vals_ref, b_ref,
-            out_ref, *, tm, tk, chunk, mode):
+            out_ref, *, tm, tk, chunk, mode, num_slabs, kts_per_slab):
     rt = pl.program_id(0)
+    s = pl.program_id(1)
     n = out_ref.shape[1]
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (tm, chunk), 0)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, tk), 1)
@@ -46,7 +70,10 @@ def _kernel(kt_ref, start_ref, end_ref, rows_ref, cols_ref, vals_ref, b_ref,
         rows = rows_ref[j, :]
         cols = cols_ref[j, :]
         vals = vals_ref[j, :]
-        b_panel = b_ref[pl.ds(kt_ref[j] * tk, tk), :]
+        # kt is global; the staged B block is this step's slab stripe,
+        # so index it slab-locally (kts_per_slab = num_k_tiles when the
+        # whole B is staged, making the offset a no-op)
+        b_panel = b_ref[pl.ds((kt_ref[j] - s * kts_per_slab) * tk, tk), :]
         if mode in ("split", "split2"):
             # gather-then-scatter with exact bf16 one-hots and multi-term
             # bf16 split data (see cres_spmm._kernel): 6 (split) or 4
@@ -68,37 +95,89 @@ def _kernel(kt_ref, start_ref, end_ref, rows_ref, cols_ref, vals_ref, b_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
 
-    acc = jnp.zeros((tm, n), dtype=jnp.float32)
-    out_ref[...] = jax.lax.fori_loop(start_ref[rt], end_ref[rt], body, acc)
+    idx = rt * num_slabs + s
+    acc = jax.lax.fori_loop(start_ref[idx], end_ref[idx], body,
+                            jnp.zeros((tm, n), dtype=jnp.float32))
+    if num_slabs == 1:
+        out_ref[...] = acc
+    else:
+        # the output block is revisited across the (minor) slab steps —
+        # initialize on the first slab, accumulate on the rest
+        @pl.when(s == 0)
+        def _init():
+            out_ref[...] = acc
+
+        @pl.when(s > 0)
+        def _accum():
+            out_ref[...] += acc
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tm", "tk", "chunk", "num_row_tiles", "interpret", "mode"),
+    static_argnames=("tm", "tk", "chunk", "num_row_tiles", "num_slabs",
+                     "slab_k", "interpret", "mode"),
 )
 def _staged_spmm(kt, start, end, rows, cols, vals, b_padded, *, tm, tk, chunk,
-                 num_row_tiles, interpret, mode="split"):
+                 num_row_tiles, num_slabs=1, slab_k=None, interpret,
+                 mode="split"):
     n_pad = b_padded.shape[1]
     num_chunks = rows.shape[0]
+    slab_k = b_padded.shape[0] if slab_k is None else slab_k
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # kt, start, end
-        grid=(num_row_tiles,),
+        grid=(num_row_tiles, num_slabs),
         in_specs=[
-            pl.BlockSpec((num_chunks, chunk), lambda r, *_: (0, 0)),
-            pl.BlockSpec((num_chunks, chunk), lambda r, *_: (0, 0)),
-            pl.BlockSpec((num_chunks, chunk), lambda r, *_: (0, 0)),
-            pl.BlockSpec(b_padded.shape, lambda r, *_: (0, 0)),
+            pl.BlockSpec((num_chunks, chunk), lambda r, s, *_: (0, 0)),
+            pl.BlockSpec((num_chunks, chunk), lambda r, s, *_: (0, 0)),
+            pl.BlockSpec((num_chunks, chunk), lambda r, s, *_: (0, 0)),
+            pl.BlockSpec((slab_k, n_pad), lambda r, s, *_: (s, 0)),
         ],
-        out_specs=pl.BlockSpec((tm, n_pad), lambda r, *_: (r, 0)),
+        out_specs=pl.BlockSpec((tm, n_pad), lambda r, s, *_: (r, 0)),
     )
 
     return pl.pallas_call(
-        functools.partial(_kernel, tm=tm, tk=tk, chunk=chunk, mode=mode),
+        functools.partial(_kernel, tm=tm, tk=tk, chunk=chunk, mode=mode,
+                          num_slabs=num_slabs,
+                          kts_per_slab=slab_k // tk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_row_tiles * tm, n_pad), jnp.float32),
         interpret=interpret,
     )(kt, start, end, rows, cols, vals, b_padded)
+
+
+def _slab_arrays(plan: TilePlan, num_slabs: int, kts_per_slab: int):
+    """Chunk arrays stably reordered by (row tile, slab) plus per-(rt,
+    slab) contiguous ranges — cached on the plan (the reorder and the
+    device transfer happen once; serving reuses the arrays)."""
+    import numpy as np
+
+    cache = getattr(plan, "_slab_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(plan, "_slab_cache", cache)
+    key = (num_slabs, kts_per_slab)
+    if key not in cache:
+        rt = np.asarray(plan.rt).astype(np.int64)
+        kt = np.asarray(plan.kt)
+        # kt is non-decreasing within each rt EXCEPT the all-sentinel
+        # padding chunks (kt=0, appended to the last rt) — a stable sort
+        # on the combined key restores per-(rt, slab) contiguity; the
+        # pads land in slab 0 where their sentinel rows contribute 0
+        slab = np.minimum(kt // kts_per_slab, num_slabs - 1).astype(np.int64)
+        keyv = rt * num_slabs + slab
+        order = np.argsort(keyv, kind="stable")
+        bounds = np.searchsorted(
+            keyv[order], np.arange(plan.num_row_tiles * num_slabs + 1))
+        cache[key] = (
+            jnp.asarray(np.asarray(plan.kt)[order]),
+            jnp.asarray(bounds[:-1].astype(np.int32)),
+            jnp.asarray(bounds[1:].astype(np.int32)),
+            jnp.asarray(np.asarray(plan.rows)[order]),
+            jnp.asarray(np.asarray(plan.cols)[order]),
+            jnp.asarray(np.asarray(plan.vals)[order]),
+        )
+    return cache[key]
 
 
 def spmm_staged(a_or_plan, b, interpret=None, budget_bytes: int = 8 * 1024 * 1024,
@@ -109,18 +188,33 @@ def spmm_staged(a_or_plan, b, interpret=None, budget_bytes: int = 8 * 1024 * 102
     n_pad = round_up(n, 128)
     k_pad = plan.num_k_tiles * plan.tile_k
     chunk_bytes = plan.num_chunks * plan.chunk * 12
-    if not fits_vmem(k_pad, n_pad, plan.tile_m, budget_bytes, chunk_bytes):
+    if fits_vmem(k_pad, n_pad, plan.tile_m, budget_bytes, chunk_bytes):
+        b_padded = pad_b(jnp.asarray(b), k_pad, n_pad)
+        start, end = plan.chunk_ranges()
+        out = _staged_spmm(
+            jnp.asarray(plan.kt), jnp.asarray(start), jnp.asarray(end),
+            jnp.asarray(plan.rows), jnp.asarray(plan.cols),
+            jnp.asarray(plan.vals), b_padded,
+            tm=plan.tile_m, tk=plan.tile_k, chunk=plan.chunk,
+            num_row_tiles=plan.num_row_tiles,
+            interpret=should_interpret(interpret), mode=mode,
+        )
+        return out[:m, :n]
+    # k-slab staging: one (slab_k x n) stripe of B in VMEM per grid step
+    slab_k = max_slab_k(k_pad, n_pad, plan.tile_m, plan.tile_k,
+                        budget_bytes, chunk_bytes)
+    if slab_k < plan.tile_k:
         raise ValueError(
-            f"B ({k_pad}x{n_pad}) + chunks exceed the VMEM stage budget; "
-            "use spmm_tiles")
-    b_padded = pad_b(jnp.asarray(b), k_pad, n_pad)
-    start, end = plan.chunk_ranges()
+            f"not even one ({plan.tile_k}x{n_pad}) stripe of B + chunks "
+            "fits the VMEM stage budget; use spmm_tiles")
+    num_slabs = -(-k_pad // slab_k)
+    kt2, start2, end2, rows2, cols2, vals2 = _slab_arrays(
+        plan, num_slabs, slab_k // plan.tile_k)
+    b_padded = pad_b(jnp.asarray(b), num_slabs * slab_k, n_pad)
     out = _staged_spmm(
-        jnp.asarray(plan.kt), jnp.asarray(start), jnp.asarray(end),
-        jnp.asarray(plan.rows), jnp.asarray(plan.cols), jnp.asarray(plan.vals),
-        b_padded,
+        kt2, start2, end2, rows2, cols2, vals2, b_padded,
         tm=plan.tile_m, tk=plan.tile_k, chunk=plan.chunk,
-        num_row_tiles=plan.num_row_tiles, interpret=should_interpret(interpret),
-        mode=mode,
+        num_row_tiles=plan.num_row_tiles, num_slabs=num_slabs,
+        slab_k=slab_k, interpret=should_interpret(interpret), mode=mode,
     )
     return out[:m, :n]
