@@ -425,3 +425,22 @@ def test_ring_and_kshard_reject_buckets_with_tile_local():
         __import__("tpuspmm.parallel", fromlist=["spmm_kshard"]).spmm_kshard(
             a, b, mesh, buckets=bucket_triplets(a, 1, n_dev),
                     local="tile")
+
+
+def test_sharded_schedules_bf16_ingested_operand(problem):
+    """bf16-ingested B (--b-dtype bf16 serving mode) through every
+    communicating schedule: the shard-local kernels ingest bf16 directly
+    (single exact MXU pass), output stays f32, and the gate checks vs
+    the f64 oracle OF the bf16 values."""
+    import ml_dtypes
+
+    from tpuspmm.parallel import spmm_kshard
+
+    a, b, _ = problem
+    b16 = b.astype(ml_dtypes.bfloat16)
+    ref16 = oracle.spmm_oracle(a, np.asarray(b16).astype(np.float64))
+    mesh = make_mesh((8,), ("rows",))
+    for fn in (spmm_row_sharded, spmm_kshard, spmm_ring):
+        out = np.asarray(fn(a, b16, mesh))
+        assert out.dtype == np.float32, fn.__name__
+        assert allclose(out, ref16, 1e-2, 1e-3), fn.__name__
