@@ -43,6 +43,11 @@ def main(argv=None) -> int:
     p.add_argument("--sharded", action="store_true")
     p.add_argument("--method", default="auto",
                    choices=["auto", "xla", "pallas", "tuned", "vendor"])
+    p.add_argument("--activations-dtype", default="f32",
+                   choices=["f32", "bf16"],
+                   help="bf16 = how activations actually arrive in LLM "
+                        "serving; kernels ingest them directly (one exact "
+                        "MXU pass), outputs stay f32")
     args = p.parse_args(argv)
 
     import jax
@@ -54,6 +59,10 @@ def main(argv=None) -> int:
     w1 = build_layer(args.d_ff, args.d_model, args.block_sparsity, seed=1)
     w2 = build_layer(args.d_model, args.d_ff, args.block_sparsity, seed=2)
     x = rng.standard_normal((args.batch, args.d_model)).astype(np.float32) * 0.1
+    if args.activations_dtype == "bf16":
+        import ml_dtypes
+
+        x = x.astype(ml_dtypes.bfloat16)
     print(f"# W1 {w1.shape} ({w1.nnz} nnz), W2 {w2.shape}, "
           f"x {x.shape}, backend={jax.default_backend()}", file=sys.stderr)
 
@@ -65,13 +74,13 @@ def main(argv=None) -> int:
 
         def mlp(xb):
             h = spmm_row_sharded(w1, np.asarray(xb).T, mesh, local="xla").T
-            h = jax.nn.gelu(jnp.asarray(h))
+            h = jax.nn.gelu(jnp.asarray(h)).astype(xb.dtype)  # serving dtype
             y = spmm_row_sharded(w2, np.asarray(h).T, mesh, local="xla").T
             return y
     else:
         def mlp(xb):
             h = tpuspmm.spmm(w1, jnp.asarray(xb).T, method=args.method).T
-            h = jax.nn.gelu(h)
+            h = jax.nn.gelu(h).astype(xb.dtype)  # keep the serving dtype
             y = tpuspmm.spmm(w2, h.T, method=args.method).T
             return y
 
@@ -79,7 +88,12 @@ def main(argv=None) -> int:
     y = np.asarray(mlp(x))
     t1 = time.perf_counter()
     # correctness against the dense reference
-    ref_h = np.asarray(jax.nn.gelu(jnp.asarray(x @ w1.to_dense().T)))
+    # the reference follows the SERVED pipeline's dtypes (the oracle of
+    # the values actually computed): bf16 serving re-quantizes h between
+    # layers, so the dense reference must too
+    ref_h = np.asarray(jax.nn.gelu(jnp.asarray(
+        x.astype(np.float32) @ w1.to_dense().T)))
+    ref_h = ref_h.astype(x.dtype).astype(np.float32)
     ref_y = ref_h @ w2.to_dense().T
     from tpuspmm.utils.compare import allclose
 
@@ -87,7 +101,8 @@ def main(argv=None) -> int:
     print(f"# first call (incl. compile): {t1 - t0:.2f}s, output {y.shape}, "
           f"matches dense reference: {ok}", file=sys.stderr)
     print({"correct": bool(ok), "out_shape": list(y.shape),
-           "sharded": args.sharded, "method": args.method})
+           "sharded": args.sharded, "method": args.method,
+           "activations_dtype": args.activations_dtype})
     return 0 if ok else 1
 
 
