@@ -51,6 +51,10 @@ def summarize(records):
                         for r in recs)
         n_err = sum(r.get("correct", "") == "" and bool(r.get("error"))
                     for r in recs)
+        # an --isolate parent marks a group whose child crashed or stayed
+        # device-faulted after retries — a truncated group must never
+        # read as complete-and-green
+        incomplete = any(r.get("sweep_incomplete") == "1" for r in recs)
         best = min(timed, key=lambda r: r["tpuKernelTimeMs"]) if timed else None
         vendor = next((r for r in timed if r.get("kernelType") == "-1"), None)
         rows.append({
@@ -60,6 +64,7 @@ def summarize(records):
             "incorrect": n_bad,
             "vo_miss": n_vo_miss,
             "errored": n_err,
+            "incomplete": "yes" if incomplete else "",
             "best_kernel": best.get("kernelName") or best.get("kernelType") if best else "-",
             "best_ms": round(best["tpuKernelTimeMs"], 3) if best else None,
             "gflops": round(best.get("gflops", 0), 2) if best else None,
@@ -91,9 +96,11 @@ def main(argv=None) -> int:
     total_bad = sum(r["incorrect"] for r in rows)
     total_vo = sum(r["vo_miss"] for r in rows)
     total_err = sum(r["errored"] for r in rows)
+    total_inc = sum(1 for r in rows if r["incomplete"])
     print(f"\n{len(rows)} groups, {total_bad} incorrect records total"
           f" ({total_vo} verified-only gate misses, not served;"
-          f" {total_err} errored — device fault, correctness unknown)",
+          f" {total_err} errored — device fault, correctness unknown;"
+          f" {total_inc} groups truncated by faults)",
           file=sys.stderr)
     return 0 if total_bad == 0 else 1
 
