@@ -42,49 +42,53 @@ _CHIP_THRESHOLDS = {
     # HBM peak — the plan interleaves with B-tile refetches and the
     # output-scatter slices), and the effective bandwidth of the XLA row
     # gather that un-permutes a row-reordered output.  v5e step/strip/HBM
-    # values are the round-3 least-squares FIT over 28 on-chip panel
-    # serve records (bench/fit_panel_model.py →
-    # results/panel_model_fit.json: step 0.1334 µs, strip 0.00058 µs,
-    # 251 GB/s; residual RMS 0.123 ms on 0.06–1.0 ms serves — the fit is
-    # coarse, which is why autotune measures the model's top geometry
-    # candidates rather than trusting the single resolved pick).  The
-    # gather term was not identifiable from those records; 300 GB/s kept
-    # from the direct m=20000 row-gather measurement (0.107 ms ⇒
-    # ~383 GB/s; 300 as margin).  v5p/v4 bandwidths scale the FITTED v5e
-    # row by nominal HBM ratio (×3 / ×1.5); step and strip costs copied
-    # (fixed per-step/per-RMW costs, not bandwidth-bound) — refit when
-    # that hardware is in the loop.
+    # values are the round-4 least-squares FIT over the 10 honest
+    # (chain-lengthened) ablation records (bench/fit_panel_model.py on
+    # results/ablate_panel_r4.jsonl: step 0.0965 µs, strip 0.00247 µs,
+    # 168 GB/s; residual RMS 0.0139 ms on 0.14–1.0 ms serves).  The
+    # round-3 fit this replaces (0.1334/0.00058/251, residual 0.123 ms)
+    # was fitted over short-chain records whose timing carried ~2.3x
+    # spread on identical geometries (BENCHMARKS.md round 4) — its strip
+    # constant was 4x low and its residual 9x worse.  Autotune still
+    # measures the model's top geometry candidates and pins the measured
+    # winner, so the constants steer the candidate set, not the final
+    # pick.  The gather term was not identifiable from those records;
+    # 300 GB/s kept from the direct m=20000 row-gather measurement
+    # (0.107 ms ⇒ ~383 GB/s; 300 as margin).  v5p/v4 bandwidths scale
+    # the FITTED v5e row by nominal HBM ratio (×3 / ×1.5); step and
+    # strip costs copied (fixed per-step/per-RMW costs, not
+    # bandwidth-bound) — refit when that hardware is in the loop.
     "v5e": {"densify_max_bytes": 128 * 1024 * 1024,
             "densify_min_density": 0.004,
             "tile_min_nnz_per_chunk": 40.0,
             "panel_max_plan_bytes": 128 * 1024 * 1024,
-            "panel_step_us": 0.1334,
-            "panel_strip_us": 0.00058,
-            "panel_hbm_gbps": 251.0,
+            "panel_step_us": 0.0965,
+            "panel_strip_us": 0.00247,
+            "panel_hbm_gbps": 168.0,
             "panel_gather_gbps": 300.0},
     "v5p": {"densify_max_bytes": 256 * 1024 * 1024,
             "densify_min_density": 0.003,
             "tile_min_nnz_per_chunk": 32.0,
             "panel_max_plan_bytes": 256 * 1024 * 1024,
-            "panel_step_us": 0.1334,
-            "panel_strip_us": 0.00058,
-            "panel_hbm_gbps": 753.0,
+            "panel_step_us": 0.0965,
+            "panel_strip_us": 0.00247,
+            "panel_hbm_gbps": 504.0,
             "panel_gather_gbps": 900.0},
     "v4": {"densify_max_bytes": 128 * 1024 * 1024,
            "densify_min_density": 0.004,
            "tile_min_nnz_per_chunk": 36.0,
            "panel_max_plan_bytes": 128 * 1024 * 1024,
-           "panel_step_us": 0.1334,
-           "panel_strip_us": 0.00058,
-           "panel_hbm_gbps": 377.0,
+           "panel_step_us": 0.0965,
+           "panel_strip_us": 0.00247,
+           "panel_hbm_gbps": 252.0,
            "panel_gather_gbps": 450.0},
     "cpu": {"densify_max_bytes": 128 * 1024 * 1024,
             "densify_min_density": 0.004,
             "tile_min_nnz_per_chunk": 40.0,
             "panel_max_plan_bytes": 128 * 1024 * 1024,
-            "panel_step_us": 0.1334,
-            "panel_strip_us": 0.00058,
-            "panel_hbm_gbps": 251.0,
+            "panel_step_us": 0.0965,
+            "panel_strip_us": 0.00247,
+            "panel_hbm_gbps": 168.0,
             "panel_gather_gbps": 300.0},
 }
 
