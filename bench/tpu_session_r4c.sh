@@ -26,6 +26,13 @@ step() {
   echo "[$(date)] rc=$?" >> "$LOG"
 }
 
+# 0. k-slab staged-B on-chip verification (re-drive after the scoped-VMEM
+#    admission fix: the first attempt OOM'd scoped vmem at slab_k 640)
+step python -m tpuspmm.cli --csr -d data/medium_2048 --kernel 3 \
+    --repeats 2 > /tmp/r4c_kslab.out
+step python -m tpuspmm.cli --ell -d data/medium_1484 --kernel 6 \
+    --repeats 2 > /tmp/r4c_kslab_ell.out
+
 # 1. full engine run of the headline dir under bf16 ingestion: every
 #    variant + vendor gated against the f64-of-bf16 oracle, bDtype tagged
 rm -f results/bf16_serving.jsonl

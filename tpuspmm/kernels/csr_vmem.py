@@ -50,8 +50,26 @@ def max_slab_k(
 ) -> int:
     """Largest k-slab height (a multiple of tile_k, ≤ k_pad) whose B
     stripe fits the VMEM stage alongside the output tile and the chunk
-    payload; 0 when not even one tile_k stripe fits (→ inadmissible)."""
-    avail = budget_bytes - 2 * tile_m * n_pad * 4 - chunk_bytes
+    payload; 0 when not even one tile_k stripe fits (→ inadmissible).
+
+    Two caps apply, and the slab takes the tighter:
+
+    - the residency budget (same policy knob as the whole-B gate):
+      slab + output tile + chunk payload ≤ ``budget_bytes``;
+    - the chip's SCOPED VMEM limit (16 MiB on v5e): unlike the whole-B
+      stage (a grid-constant block) the slab block's index varies with
+      the grid step, so Pallas double-buffers it, and the kernel's
+      per-chunk ephemerals (the sliced b_panel, its bf16 split terms,
+      the gathered (chunk, n) intermediates, the accumulator) live on
+      the same scoped stack — measured ≈ 4.5 (tile_k × n) f32 buffers
+      on v5e, where a single-buffered model overflowed the 16 MiB limit
+      by 1.2 MiB on medium_2048 at slab_k 640.  15 MiB is used as the
+      margin-adjusted limit."""
+    by_budget = budget_bytes - 2 * tile_m * n_pad * 4 - chunk_bytes
+    scratch = 18 * tile_k * n_pad  # ≈4.5 f32 (tile_k, n) ephemerals
+    by_scoped = (15 * 1024 * 1024 - 2 * tile_m * n_pad * 4 - chunk_bytes
+                 - scratch) // 2
+    avail = min(by_budget, by_scoped)
     if avail <= 0:
         return 0
     slab = (avail // (n_pad * 4)) // tile_k * tile_k
