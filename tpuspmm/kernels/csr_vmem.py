@@ -41,7 +41,15 @@ def fits_vmem(
 ) -> bool:
     b_bytes = k_pad * n_pad * 4
     out_bytes = tile_m * n_pad * 4
-    return (b_bytes + 2 * out_bytes + chunk_bytes) <= budget_bytes
+    if (b_bytes + 2 * out_bytes + chunk_bytes) > budget_bytes:
+        return False
+    # scoped-VMEM sanity for wide outputs: the per-chunk ephemerals grow
+    # with n (see max_slab_k) and share the 16 MiB scoped stack with the
+    # staged B — a narrow-k/wide-n shape can pass the residency budget
+    # yet overflow the stack
+    scratch = 18 * 128 * n_pad
+    return (b_bytes + 2 * out_bytes + chunk_bytes
+            + scratch) <= 15 * 1024 * 1024
 
 
 def max_slab_k(
