@@ -33,6 +33,9 @@ def main(argv=None) -> int:
                         "(gen_sparse.py), but at that scale f32 kernels "
                         "cannot meet the abs-1e-3 gate on cancelling outputs")
     p.add_argument("--hi", type=float, default=1.0)
+    p.add_argument("--b-dtype", default="f32", choices=["f32", "bf16"],
+                   help="dense-operand ingestion dtype (see tpuspmm.cli "
+                        "--b-dtype); records carry bDtype=bf16")
     p.add_argument("--skip-seq", action="store_true")
     p.add_argument("--no-vendor", action="store_true")
     p.add_argument("--out", default=None)
@@ -51,6 +54,10 @@ def main(argv=None) -> int:
     config = default_config()
     rng = np.random.default_rng(args.seed)
     b = rng.uniform(args.lo, args.hi, (args.cols, args.width)).astype(np.float32)
+    if args.b_dtype == "bf16":
+        import ml_dtypes
+
+        b = b.astype(ml_dtypes.bfloat16)  # run_engine serves it as-is
     out_stream = (open(args.out, "w" if args.fresh else "a")
                   if args.out else sys.stdout)
 
