@@ -262,6 +262,32 @@ def test_2d_mesh(problem):
     assert allclose(out, ref, 1e-2, 1e-3)
 
 
+@pytest.mark.parametrize("local", ["panel", "pair"])
+def test_2d_mesh_panel_pair_locals(problem, local):
+    """2-D schedule serving the flagship panel/pair kernels per (row,
+    col) shard: each shard densifies its row slab against its
+    n_local-wide B column shard; an uneven width exercises the column
+    padding, and a bf16-ingested operand the serving dtype."""
+    import ml_dtypes
+
+    a, b, ref = problem
+    mesh = make_mesh((4, 2))
+    out = np.asarray(spmm_2d(a, b, mesh, local=local))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+    # uneven width (96 → n_local 128 with padding on the last shard)
+    b_odd = b[:, :72]
+    out_odd = np.asarray(spmm_2d(a, b_odd, mesh, local=local))
+    assert allclose(out_odd, ref[:, :72], 1e-2, 1e-3)
+
+    b16 = b.astype(ml_dtypes.bfloat16)
+    ref16 = oracle.spmm_oracle(a, np.asarray(b16).astype(np.float64))
+    out16 = np.asarray(spmm_2d(a, b16, mesh, local=local))
+    assert out16.dtype == np.float32
+    assert allclose(out16, ref16, 1e-2, 1e-3)
+
+
 def test_weak_scaling_consistency(problem):
     """Same matrix, different shard counts → identical results."""
     a, b, ref = problem

@@ -319,8 +319,20 @@ def _spmm_row_sharded_pair(a, b, mesh: Mesh, axis: str,
 # ---------------------------------------------------------------------------
 
 def spmm_2d(a, b, mesh: Mesh, plan: Optional[RowShardedPlan] = None,
-            interpret=None):
-    """C = A @ B on a 2-D mesh: A sharded over "rows", B over "cols"."""
+            interpret=None, local: str = "tile"):
+    """C = A @ B on a 2-D mesh: A sharded over "rows", B over "cols".
+
+    ``local`` selects the per-shard kernel like spmm_row_sharded: "tile"
+    (default), "panel" (plan-time-densified flagship), or "pair"
+    (run-length, zero stored-plan padding).  The panel/pair locals see
+    only their column shard of B (n_local wide), so their VMEM slab
+    admission is per-shard — a 2-D mesh admits outputs the replicated-B
+    row-sharded schedule must supertile.
+    """
+    if local == "panel":
+        return _spmm_2d_panel(a, b, mesh, plan, interpret)
+    if local == "pair":
+        return _spmm_2d_pair(a, b, mesh, plan, interpret)
     n_rows = mesh.shape["rows"]
     n_cols = mesh.shape["cols"]
     interp = should_interpret(interpret)
@@ -368,6 +380,153 @@ def _spmm_2d_callable(mesh, m_local, **static):
                   P(None, "cols")),
         out_specs=P("rows", "cols"), check_vma=False,
     ))
+
+
+@functools.lru_cache(maxsize=64)
+def _2d_panel_callable(mesh, m_local, **static):
+    from tpuspmm.kernels.panel_spmm import _panel_spmm
+
+    n_st = static["n_st"]
+    sm = static["sm"]
+    tm = static["tm"]
+
+    def local_fn(kt, st, offs, a_dense, b_loc):
+        out = _panel_spmm(kt, st, offs, a_dense, b_loc, **static)
+        if n_st > 1:
+            n_loc = out.shape[1]
+            out = out.reshape(n_st, sm + tm, n_loc)[:, :sm, :]
+            out = out.reshape(n_st * sm, n_loc)
+        return out[:m_local]
+
+    return jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P("rows"), P("rows"), P("rows"), P("rows"),
+                  P(None, "cols")),
+        out_specs=P("rows", "cols"), check_vma=False,
+    ))
+
+
+def _spmm_2d_panel(a, b, mesh: Mesh, plan, interpret):
+    """2-D schedule serving the panel kernel per (row, col) shard: each
+    shard densifies its row slab against its n_local-wide B column shard
+    — collective-free forward, and the per-shard VMEM slab only has to
+    hold (sm × n_local)."""
+    from tpuspmm.kernels import panel_spmm
+
+    n_rows = mesh.shape["rows"]
+    n_cols = mesh.shape["cols"]
+    interp = should_interpret(interpret)
+    n = int(np.shape(b)[1])
+    n_local = round_up(-(-n // n_cols), 128)
+    if plan is None:
+        m_local_guess = round_up(-(-a.shape[0] // n_rows), 8)
+        sm = panel_spmm.pick_supertile_rows(m_local_guess, n_local, 8, 128)
+        if sm is None:
+            raise ValueError(
+                f"per-shard output ({m_local_guess}x{n_local}) narrower "
+                "than one strip of VMEM budget; use local='tile'")
+        plan = _cached_panel_shard_plan(
+            a, n_rows, None if sm >= m_local_guess else sm)
+    m, k = plan.shape
+    if not interp and not panel_spmm.fits_vmem_panel(
+            plan.sm, n_local, plan.tm, plan.tk,
+            panel_strips=plan.panel_strips):
+        raise ValueError(
+            f"per-shard output slab ({plan.sm}x{n_local}) exceeds the "
+            "VMEM residency budget; rebuild the shard plan with sm from "
+            "pick_supertile_rows, or pass plan=None to auto-supertile")
+    k_pad = round_up(k, plan.tk)
+    n_pad = n_local * n_cols
+    b_padded = pad_dense_rows(b, k_pad)
+    if n_pad != n:
+        b_padded = jnp.pad(b_padded, ((0, 0), (0, n_pad - n)))
+
+    shard = functools.partial(_put, mesh)
+    args = (
+        shard(plan.kt, P("rows")), shard(plan.st, P("rows")),
+        shard(plan.offs, P("rows")), shard(plan.a_dense, P("rows")),
+        shard(b_padded, P(None, "cols")),
+    )
+    fn = _2d_panel_callable(
+        mesh, plan.m_local,
+        tm=plan.tm, tk=plan.tk, panel_strips=plan.panel_strips,
+        sm=plan.sm, n_st=plan.n_supertiles, interpret=interp)
+    out = fn(*args)
+    return out[:m, :n]
+
+
+@functools.lru_cache(maxsize=64)
+def _2d_pair_callable(mesh, m_local, **static):
+    from tpuspmm.kernels.pair_spmm import _pair_spmm
+
+    n_st = static["n_st"]
+    sm = static["sm"]
+    tm = static["tm"]
+
+    def local_fn(c_kt, c_st, c_start, c_count, offs, a_dense, b_loc):
+        out = _pair_spmm(c_kt, c_st, c_start, c_count, offs, a_dense,
+                         b_loc, **static)
+        if n_st > 1:
+            n_loc = out.shape[1]
+            out = out.reshape(n_st, sm + tm, n_loc)[:, :sm, :]
+            out = out.reshape(n_st * sm, n_loc)
+        return out[:m_local]
+
+    return jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P("rows"), P("rows"), P("rows"), P("rows"), P("rows"),
+                  P("rows"), P(None, "cols")),
+        out_specs=P("rows", "cols"), check_vma=False,
+    ))
+
+
+def _spmm_2d_pair(a, b, mesh: Mesh, plan, interpret):
+    """2-D schedule serving the run-length pair kernel per (row, col)
+    shard — zero stored-plan padding, collective-free forward."""
+    from tpuspmm.kernels import pair_spmm
+
+    n_rows = mesh.shape["rows"]
+    n_cols = mesh.shape["cols"]
+    interp = should_interpret(interpret)
+    n = int(np.shape(b)[1])
+    n_local = round_up(-(-n // n_cols), 128)
+    if plan is None:
+        m_local_guess = round_up(-(-a.shape[0] // n_rows), 8)
+        sm = pair_spmm.pick_supertile_rows_pair(m_local_guess, n_local,
+                                                8, 128)
+        if sm is None:
+            raise ValueError(
+                f"per-shard output ({m_local_guess}x{n_local}) narrower "
+                "than one strip of VMEM budget; use local='tile'")
+        plan = _cached_pair_shard_plan(
+            a, n_rows, None if sm >= m_local_guess else sm)
+    m, k = plan.shape
+    if not interp and not pair_spmm.fits_vmem_pair(
+            plan.sm, n_local, plan.tm, plan.tk,
+            chunk_strips=plan.chunk_strips):
+        raise ValueError(
+            f"per-shard output slab ({plan.sm}x{n_local}) exceeds the "
+            "VMEM residency budget; rebuild the shard plan with sm from "
+            "pick_supertile_rows_pair, or pass plan=None to auto-supertile")
+    k_pad = round_up(k, plan.tk)
+    n_pad = n_local * n_cols
+    b_padded = pad_dense_rows(b, k_pad)
+    if n_pad != n:
+        b_padded = jnp.pad(b_padded, ((0, 0), (0, n_pad - n)))
+
+    shard = functools.partial(_put, mesh)
+    args = (
+        shard(plan.c_kt, P("rows")), shard(plan.c_st, P("rows")),
+        shard(plan.c_start, P("rows")), shard(plan.c_count, P("rows")),
+        shard(plan.offs, P("rows")), shard(plan.a_dense, P("rows")),
+        shard(b_padded, P(None, "cols")),
+    )
+    fn = _2d_pair_callable(
+        mesh, plan.m_local,
+        tm=plan.tm, tk=plan.tk, chunk_strips=plan.chunk_strips,
+        sm=plan.sm, n_st=plan.n_supertiles, interpret=interp)
+    out = fn(*args)
+    return out[:m, :n]
 
 
 # ---------------------------------------------------------------------------
