@@ -63,10 +63,18 @@ def _config_fp(config=None) -> str:
     return hashlib.sha1(repr(key).encode()).hexdigest()[:8]
 
 
+def _b_dtype_name(b) -> str:
+    """Serving-dtype tag without materializing ``b``: np.asarray on a
+    device array would fetch the whole operand through the tunnel just
+    to read its dtype."""
+    dt = getattr(b, "dtype", None)
+    return dt.name if dt is not None else np.asarray(b).dtype.name
+
+
 def _tune_key(b, config=None) -> tuple:
     # serving dtype is part of the key (bf16-ingested rankings differ)
-    bdt = getattr(np.asarray(b).dtype, "name", "float32")
-    return ("tuned", int(np.shape(b)[1]), _config_fp(config), bdt)
+    return ("tuned", int(np.shape(b)[1]), _config_fp(config),
+            _b_dtype_name(b))
 
 
 def _as_tunable(a):
@@ -178,7 +186,7 @@ def _disk_key(a, b, config=None) -> str:
     # (--b-dtype bf16 — different pass ladders, different winners) must
     # never be served for f32 operands or vice versa.  f32 keys keep the
     # historical spelling so existing caches survive.
-    bdt = getattr(np.asarray(b).dtype, "name", "float32")
+    bdt = _b_dtype_name(b)
     dt = "" if bdt == "float32" else f":d{bdt}"
     return (f"v4:{matrix_digest(a)}:{a.format_name}:n{int(np.shape(b)[1])}"
             f":{detect_chip()}:e{_engine_rev(a.format_name)}"
