@@ -470,3 +470,7 @@ def test_sharded_schedules_bf16_ingested_operand(problem):
         out = np.asarray(fn(a, b16, mesh))
         assert out.dtype == np.float32, fn.__name__
         assert allclose(out, ref16, 1e-2, 1e-3), fn.__name__
+    # and the flagship pair kernel as the communicating schedules' local
+    for fn in (spmm_kshard, spmm_ring):
+        out = np.asarray(fn(a, b16, mesh, local="pair"))
+        assert allclose(out, ref16, 1e-2, 1e-3), f"{fn.__name__} pair"
