@@ -157,11 +157,16 @@ def main(argv=None) -> int:
 
     def _group_faulted(records):
         """True when the group died on a device fault (retryable) rather
-        than a numerics miss (deterministic)."""
-        return any(r.get("device_fault") == "1"
-                   or ("error" in r and any(
-                       s in r["error"] for s in
-                       ("RESOURCE_EXHAUSTED", "UNAVAILABLE", "INTERNAL")))
+        than a numerics miss (deterministic).  The vendor baseline is
+        excluded: it runs LAST, so a vendor-only fault truncates nothing
+        — and its remote-compile HTTP 500 on huge shapes is persistent
+        (large_20000/bsr failed 3 group-level retries at ~19 min each,
+        round 4b, for a fault only the vendor record carried)."""
+        return any((r.get("device_fault") == "1"
+                    or ("error" in r and any(
+                        s in r["error"] for s in
+                        ("RESOURCE_EXHAUSTED", "UNAVAILABLE", "INTERNAL"))))
+                   and r.get("kernelType") != "-1"
                    for r in records)
 
     failures = 0

@@ -858,3 +858,34 @@ def test_run_engine_bf16_ingested_operand(small):
     recs32 = run_engine(get_engine("csr"), b=b, a=a, testcase="t",
                         repeats=1, emit=False)
     assert not any("bDtype" in r for r in recs32)
+
+
+def test_sweep_formats_vendor_only_fault_not_retried(tmp_path, monkeypatch):
+    """A fault carried ONLY by the vendor baseline (kernel -1, runs last
+    — truncates nothing, and its remote-compile 500 on huge shapes is
+    persistent) must not trigger group retries or a non-zero rc."""
+    from bench import sweep_formats
+
+    calls = {"n": 0}
+
+    def fake_run_engine(engine, a, b, **kw):
+        calls["n"] += 1
+        from tpuspmm.engine.report import make_record
+
+        common = dict(testcase=kw.get("testcase", "t"), sparsity=0.1,
+                      fmt="csr", nnz=10, shape=(4, 4), n=4)
+        ok = make_record(kernel_type=1, kernel_name="ok", correct=True,
+                         kernel_ms=0.5, **common)
+        vend = make_record(kernel_type=-1, kernel_name="vendor_sparse",
+                           extra={"error": "INTERNAL: HTTP 500"}, **common)
+        return [ok, vend]
+
+    monkeypatch.setattr("tpuspmm.engine.runner.run_engine", fake_run_engine)
+    monkeypatch.setattr(sweep_formats, "run_engine", fake_run_engine,
+                        raising=False)
+    out = tmp_path / "sweep.jsonl"
+    rc = sweep_formats.main([
+        "--data-root", "data", "--dirs", "small_32x32", "--formats", "csr",
+        "--out", str(out), "--fresh", "--retries", "2", "--skip-seq"])
+    assert rc == 0, "vendor-only fault must not fail the sweep"
+    assert calls["n"] == 1, "vendor-only fault must not be retried"
