@@ -108,7 +108,8 @@ def main(argv=None) -> int:
         n_pad = ((n + 127) // 128) * 128
         k_pad = plan.num_k_tiles * plan.tile_k
         chunk_bytes = plan.num_chunks * plan.chunk * 12
-        if csr_vmem.fits_vmem(k_pad, n_pad, plan.tile_m, chunk_bytes=chunk_bytes):
+        if csr_vmem.fits_vmem(k_pad, n_pad, plan.tile_m, chunk_bytes=chunk_bytes,
+                              tile_k=plan.tile_k):
             bench("pallas_staged_b",
                   lambda bb: csr_vmem.spmm_staged(plan, bb))
     if "densify" not in skip and a.shape[0] * a.shape[1] * 4 <= (1 << 30):

@@ -33,9 +33,16 @@ def load(paths):
 def summarize(records):
     groups = defaultdict(list)
     for r in records:
-        groups[(r.get("testcase", "?"), r.get("format", "?"))].append(r)
+        # operand provenance is part of the group key (VERDICT r4 weak
+        # #5): a width-1024 bf16 record must not share a "best kernel"
+        # row with the width-256 f32 run of the same dir.  Legacy records
+        # without the fields collapse into one ("", "") bucket per
+        # (testcase, format), preserving the old behaviour.
+        groups[(r.get("testcase", "?"), r.get("format", "?"),
+                r.get("bCols", ""), r.get("bDtype", ""))].append(r)
     rows = []
-    for (tc, fmt), recs in sorted(groups.items()):
+    for (tc, fmt, bcols, bdt), recs in sorted(
+            groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
         timed = [r for r in recs
                  if r.get("correct") == "1" and r.get("tpuKernelTimeMs", 0) > 0
                  and r.get("kernelType") not in ("0",)]
@@ -60,6 +67,8 @@ def summarize(records):
         rows.append({
             "testcase": tc,
             "format": fmt,
+            "bCols": bcols,
+            "bDtype": bdt,
             "records": len(recs),
             "incorrect": n_bad,
             "vo_miss": n_vo_miss,

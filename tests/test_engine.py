@@ -854,10 +854,12 @@ def test_run_engine_bf16_ingested_operand(small):
     bad = [r for r in records if r.get("correct") == "0"
            and r.get("verifiedOnly") != "1"]
     assert not bad, bad
-    # and an f32 operand must NOT be tagged
+    # and an f32 operand is tagged explicitly (every record self-describes
+    # its serving dtype — VERDICT r4 weak #5)
     recs32 = run_engine(get_engine("csr"), b=b, a=a, testcase="t",
                         repeats=1, emit=False)
-    assert not any("bDtype" in r for r in recs32)
+    assert recs32 and all(r.get("bDtype") == "f32" for r in recs32)
+    assert all(r.get("bCols") == b.shape[1] for r in recs32)
 
 
 def test_sweep_formats_vendor_only_fault_not_retried(tmp_path, monkeypatch):

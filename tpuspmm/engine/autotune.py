@@ -413,10 +413,10 @@ def tune(a, b, iters: int = 8, config=None, verbose: bool = False,
     # must be measured on the dtype it will serve — bf16 changes both
     # the winners (single exact MXU pass vs split ladders) and the gate
     # (checked vs the f64 oracle OF the bf16 values)
-    b_np = np.asarray(b)
-    if b_np.dtype.name != "bfloat16":
-        b_np = b_np.astype(np.float32)
-    b_dev = jnp.asarray(b_np)
+    if _b_dtype_name(b) == "bfloat16":
+        b_dev = jnp.asarray(b)
+    else:
+        b_dev = jnp.asarray(b, jnp.float32)
 
     dkey = _disk_key(a, b, config) if use_disk_cache else None
     results: List[TuneResult] = []

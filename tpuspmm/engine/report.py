@@ -105,6 +105,10 @@ def make_record(
         "tpuTotalTimeMs": total,
         "sequentialTimeMs": sequential_ms,
         "backend": backend,
+        # operand provenance: records must self-describe the dense
+        # operand they timed (a 0.5 ms record at width 12600 is not
+        # comparable with a width-256 headline) — VERDICT r4 weak #5
+        "bCols": int(n),
     }
     # derived throughput only when the measurement is above the chained
     # timer's noise floor: on the tunneled backend device_time_ms subtracts

@@ -231,9 +231,9 @@ def run_engine(
             )
         records.append(rec)
 
-    if b_host.dtype.name == "bfloat16":
-        for rec in records:
-            rec["bDtype"] = "bf16"
+    bdt = "bf16" if b_host.dtype.name == "bfloat16" else "f32"
+    for rec in records:
+        rec["bDtype"] = bdt
     if emit:
         for rec in records:
             report_mod.emit(rec)

@@ -134,19 +134,29 @@ def load_dense(data_dir: str, width: Optional[int] = None, seed: int = 0,
     f = discover(data_dir)
     if force_synthetic:
         f = dict(f, dense=None, dense_mtx=None)
+
+    def _tagged(d: DenseMatrix, source: str) -> DenseMatrix:
+        # operand-provenance tag for bench records (bSource field):
+        # "ondisk" = reference-shipped operand, "synth" = generated here.
+        # Attribute, not a dataclass field — containers are frozen pytrees
+        # and the tag must not affect tree structure or equality.
+        object.__setattr__(d, "b_source", source)
+        return d
+
     if f["dense"]:
-        return DenseMatrix.from_file(f["dense"])
+        return _tagged(DenseMatrix.from_file(f["dense"]), "ondisk")
     if f["dense_mtx"]:
         m = fio.read_mtx(f["dense_mtx"])
         import scipy.sparse
 
         arr = m.toarray() if scipy.sparse.issparse(m) else np.asarray(m)
-        return DenseMatrix.from_array(arr)
+        return _tagged(DenseMatrix.from_array(arr), "ondisk")
     if f["mtx"] or f["csr"] or f["coo"]:
         # Synthesise a B matching A's column count.
         a = load_sparse(data_dir, "coo") if f["coo"] or f["mtx"] else load_sparse(data_dir, "csr")
         k = a.shape[1]
         n = width or min(k, 512)
         rng = np.random.default_rng(seed)
-        return DenseMatrix.from_array(rng.uniform(-1.0, 1.0, (k, n)).astype(np.float32))
+        return _tagged(DenseMatrix.from_array(
+            rng.uniform(-1.0, 1.0, (k, n)).astype(np.float32)), "synth")
     raise FileNotFoundError(f"no dense operand in {data_dir}")

@@ -38,6 +38,7 @@ from tpuspmm.formats.tiles import TilePlan, plan_from_container
 def fits_vmem(
     k_pad: int, n_pad: int, tile_m: int,
     budget_bytes: int = 8 * 1024 * 1024, chunk_bytes: int = 0,
+    tile_k: int = 128,
 ) -> bool:
     b_bytes = k_pad * n_pad * 4
     out_bytes = tile_m * n_pad * 4
@@ -46,8 +47,9 @@ def fits_vmem(
     # scoped-VMEM sanity for wide outputs: the per-chunk ephemerals grow
     # with n (see max_slab_k) and share the 16 MiB scoped stack with the
     # staged B — a narrow-k/wide-n shape can pass the residency budget
-    # yet overflow the stack
-    scratch = 18 * 128 * n_pad
+    # yet overflow the stack (same ≈4.5 f32 (tile_k, n) buffers max_slab_k
+    # accounts for)
+    scratch = 18 * tile_k * n_pad
     return (b_bytes + 2 * out_bytes + chunk_bytes
             + scratch) <= 15 * 1024 * 1024
 
@@ -157,7 +159,13 @@ def _staged_spmm(kt, start, end, rows, cols, vals, b_padded, *, tm, tk, chunk,
             pl.BlockSpec((num_chunks, chunk), lambda r, s, *_: (0, 0)),
             pl.BlockSpec((num_chunks, chunk), lambda r, s, *_: (0, 0)),
             pl.BlockSpec((num_chunks, chunk), lambda r, s, *_: (0, 0)),
-            pl.BlockSpec((slab_k, n_pad), lambda r, s, *_: (s, 0)),
+            # whole-B (num_slabs==1) must stay a provably grid-constant
+            # block — a grid-dependent (s, 0) map over an extent-1 dim
+            # risks Mosaic double-buffering whole B, breaking fits_vmem's
+            # single-buffered model near the budget edge
+            pl.BlockSpec((slab_k, n_pad),
+                         (lambda r, s, *_: (0, 0)) if num_slabs == 1
+                         else (lambda r, s, *_: (s, 0))),
         ],
         out_specs=pl.BlockSpec((tm, n_pad), lambda r, s, *_: (r, 0)),
     )
@@ -214,7 +222,8 @@ def spmm_staged(a_or_plan, b, interpret=None, budget_bytes: int = 8 * 1024 * 102
     n_pad = round_up(n, 128)
     k_pad = plan.num_k_tiles * plan.tile_k
     chunk_bytes = plan.num_chunks * plan.chunk * 12
-    if fits_vmem(k_pad, n_pad, plan.tile_m, budget_bytes, chunk_bytes):
+    if fits_vmem(k_pad, n_pad, plan.tile_m, budget_bytes, chunk_bytes,
+                 tile_k=plan.tile_k):
         b_padded = pad_b(jnp.asarray(b), k_pad, n_pad)
         start, end = plan.chunk_ranges()
         out = _staged_spmm(

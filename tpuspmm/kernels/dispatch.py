@@ -245,7 +245,7 @@ def spmm_pallas(a, b, interpret=None, config=None):
         m_pad = plan.num_row_tiles * plan.tile_m
         chunk_bytes = plan.num_chunks * plan.chunk * 12
         if csr_vmem.fits_vmem(k_pad, n_pad, plan.tile_m, budget_bytes=budget,
-                              chunk_bytes=chunk_bytes):
+                              chunk_bytes=chunk_bytes, tile_k=plan.tile_k):
             return csr_vmem.spmm_staged(plan, b, interpret=interpret,
                                         budget_bytes=budget,
                                         mode=config.precision_mode)
