@@ -232,6 +232,85 @@ def test_kshard_pair_local_uneven():
     assert allclose(out, ref, 1e-2, 1e-3)
 
 
+def test_ring_panel_local(problem):
+    """VERDICT r4 #4: the flagship panel kernel as the ring schedule's
+    local compute — per-(shard, bucket) plan-time-densified panels
+    jnp.taken by ring step, ppermute overlapped."""
+    a, b, ref = problem
+    mesh = make_mesh((8,), ("rows",))
+    out = np.asarray(spmm_ring(a, b, mesh, local="panel"))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_ring_panel_local_uneven_buckets():
+    """Panel-local ring on ragged M/K with wildly uneven bucket
+    occupancy (90% of nnz in low K — some buckets nearly empty, so the
+    uniform panel-count padding and the trash-panel convention are all
+    exercised)."""
+    rng = np.random.default_rng(13)
+    m, k = 97, 205
+    n1, n2 = 360, 40
+    rows = np.concatenate([rng.integers(0, m, n1), rng.integers(0, m, n2)])
+    cols = np.concatenate([rng.integers(0, 64, n1), rng.integers(64, k, n2)])
+    vals = rng.standard_normal(n1 + n2).astype(np.float32)
+    from tpuspmm.formats import COO
+
+    a = COO(shape=(m, k), rows=rows.astype(np.int32),
+            cols=cols.astype(np.int32), values=vals)
+    b = rng.standard_normal((k, 40)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    mesh = make_mesh((4,), ("rows",))
+    out = np.asarray(spmm_ring(a, b, mesh, local="panel"))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_ring_panel_local_cols_axis(problem):
+    a, b, ref = problem
+    mesh = make_mesh((4, 2), ("rows", "cols"))
+    out = np.asarray(spmm_ring(a, b, mesh, cols_axis="cols", local="panel"))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_ring_panel_local_supertiled():
+    """Explicit sm < m_local: every bucket's plan supertiles, the ring
+    body's un-supertile reshape runs, and trash panels pinned to the
+    LAST supertile must not re-fire the slab zero-init."""
+    from tpuspmm.parallel.shard import bucket_panelplans
+
+    rng = np.random.default_rng(23)
+    a = CSR.random(128, 256, 0.06, seed=19)
+    b = rng.standard_normal((256, 40)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    mesh = make_mesh((2,), ("rows",))
+    plans = bucket_panelplans(a, 2, 2, sm=32)
+    assert plans.n_supertiles > 1
+    out = np.asarray(spmm_ring(a, b, mesh, local="panel", plans=plans))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_kshard_panel_local(problem):
+    from tpuspmm.parallel import spmm_kshard
+
+    a, b, ref = problem
+    mesh = make_mesh((8,), ("rows",))
+    out = np.asarray(spmm_kshard(a, b, mesh, local="panel"))
+    assert out.shape == ref.shape
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
+def test_kshard_panel_local_uneven():
+    from tpuspmm.parallel import spmm_kshard
+
+    rng = np.random.default_rng(17)
+    a = CSR.random(130, 333, 0.07, seed=9)
+    b = rng.standard_normal((333, 72)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    mesh = make_mesh((4,), ("rows",))
+    out = np.asarray(spmm_kshard(a, b, mesh, local="panel"))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
 def test_kshard_tile_local(problem):
     from tpuspmm.parallel import spmm_kshard
 
@@ -470,7 +549,9 @@ def test_sharded_schedules_bf16_ingested_operand(problem):
         out = np.asarray(fn(a, b16, mesh))
         assert out.dtype == np.float32, fn.__name__
         assert allclose(out, ref16, 1e-2, 1e-3), fn.__name__
-    # and the flagship pair kernel as the communicating schedules' local
+    # and the flagship panel/pair kernels as the communicating schedules'
+    # locals (VERDICT r3 #7 pair, r4 #4 panel)
     for fn in (spmm_kshard, spmm_ring):
-        out = np.asarray(fn(a, b16, mesh, local="pair"))
-        assert allclose(out, ref16, 1e-2, 1e-3), f"{fn.__name__} pair"
+        for loc in ("pair", "panel"):
+            out = np.asarray(fn(a, b16, mesh, local=loc))
+            assert allclose(out, ref16, 1e-2, 1e-3), f"{fn.__name__} {loc}"

