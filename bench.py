@@ -95,8 +95,9 @@ def _run(argv, degraded: bool = False) -> int:
     from tpuspmm.utils.compare import allclose
 
     a = convert.load_sparse(args.data_dir, "csr")
-    b = np.asarray(convert.load_dense(args.data_dir, width=args.width).data,
-                   dtype=np.float32)
+    dense = convert.load_dense(args.data_dir, width=args.width)
+    b = np.asarray(dense.data, dtype=np.float32)
+    b_source = getattr(dense, "b_source", "ondisk")
     testcase = os.path.basename(os.path.normpath(args.data_dir))
     print(f"# {testcase}: A {a.shape} nnz={a.nnz}, B {b.shape}, "
           f"backend={jax.default_backend()}", file=sys.stderr)
@@ -198,6 +199,11 @@ def _run(argv, degraded: bool = False) -> int:
         "hbm_roofline_frac": round(roofline_frac, 4),
         "correct": bool(correct),
         "backend": jax.default_backend(),
+        # same operand-provenance keys as the sweep records (VERDICT r4
+        # weak #5): the headline self-describes what B it timed
+        "bCols": int(n),
+        "bDtype": "f32",
+        "bSource": b_source,
     }
     if bf16_ms is not None:
         record["bf16_serving_ms"] = round(bf16_ms, 4)
