@@ -169,9 +169,15 @@ def main(argv=None) -> int:
                 kernel_ms = float(np.median(times))
                 ref = oracle_mod.spmm_scipy_oracle(a, b)
                 ok = allclose(np.asarray(result), ref, config.rel_tol, config.abs_tol)
+                if args.kernel > 0:
+                    kname = engine.variant(args.kernel).name
+                else:
+                    kname = {0: "oracle_numpy_f64",
+                             -1: "jax_sparse_bcoo"}.get(args.kernel, "")
                 rec = report_mod.make_record(
                     testcase=testcase, sparsity=a.sparsity, fmt=fmt,
-                    kernel_type=args.kernel, correct=ok, nnz=a.nnz, shape=a.shape,
+                    kernel_type=args.kernel, kernel_name=kname,
+                    correct=ok, nnz=a.nnz, shape=a.shape,
                     n=b.shape[1], prolog_ms=max(0.0, prolog_ms - kernel_ms),
                     kernel_ms=kernel_ms,
                 )
