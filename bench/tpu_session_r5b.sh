@@ -26,6 +26,19 @@ step() {
 }
 
 gate
+# 0. re-run the pruned-LLM bench with the round-5 cached-densify
+#    variant (BSR kernel 7) in the field — the first r5 capture predates
+#    it, and uniformly-scattered 4x4 pruning is plan-dense, so the dense
+#    MXU matmul on the cached densified operand should beat the 0.6 ms
+#    panel serve several-fold
+step python -m bench.pruned_llm --repeats 12 > results/pruned_llm.jsonl
+step python -m bench.pruned_llm --repeats 12 --b-dtype bf16 \
+    >> results/pruned_llm.jsonl
+# ... and give the COO engine's new densify variant sparsity-sweep
+#     evidence (CSR's has it since round 2)
+step python -m bench.sweep_sparsity --densities 0.3,0.6,0.9 \
+    --formats coo --repeats 5 --out results/sparsity.jsonl
+
 # 1. profiler trace of the served headline kernel (pallas_panel_split =
 #    CSR kernel 8) on the headline matrix, then the occupancy summary
 rm -rf /tmp/panel_trace

@@ -891,3 +891,37 @@ def test_sweep_formats_vendor_only_fault_not_retried(tmp_path, monkeypatch):
         "--out", str(out), "--fresh", "--retries", "2", "--skip-seq"])
     assert rc == 0, "vendor-only fault must not fail the sweep"
     assert calls["n"] == 1, "vendor-only fault must not be retried"
+
+
+def test_densify_variant_all_formats(small):
+    """The cached-densify variant (round 5: densify once at plan time,
+    serve one dense MXU matmul per call) exists in every engine and is
+    gate-exact; duplicates accumulate through the cache build."""
+    import jax.numpy as jnp
+
+    from tpuspmm.config import default_config
+    from tpuspmm.engine.registry import get_engine
+    from tpuspmm.formats import COO, convert
+    from tpuspmm.ops import oracle
+    from tpuspmm.utils.compare import allclose
+
+    a, b, ref = small
+    cfg = default_config()
+    for fmt, num in (("csr", 4), ("coo", 7), ("bsr", 7), ("ell", 8)):
+        eng = get_engine(fmt)
+        v = eng.variant(num)
+        assert v.name == "xla_densify_matmul", (fmt, v.name)
+        af = convert.to_format(a, fmt)
+        out = np.asarray(v.fn(af, b, cfg))
+        assert allclose(out, ref, 1e-2, 1e-3), fmt
+        # the dense operand is cached on the COO view after first serve
+        from tpuspmm.ops.xla import coo_view
+
+        assert "dense_f32" in getattr(coo_view(af), "_xla_cache", {})
+    # duplicate coordinates accumulate (COO semantics)
+    c = COO(shape=(4, 4), rows=np.array([0, 0], np.int32),
+            cols=np.array([1, 1], np.int32),
+            values=np.array([1.5, 2.5], np.float32))
+    out = np.asarray(get_engine("coo").variant(7).fn(
+        c, np.eye(4, dtype=np.float32), cfg))
+    assert out[0, 1] == 4.0

@@ -81,6 +81,17 @@ def spmm_densify(rows, cols, values, b, *, num_rows: int, num_cols: int):
         precision=jax.lax.Precision.HIGHEST)
 
 
+@jax.jit
+def dense_matmul(a_dense, b):
+    """One dense MXU matmul against a pre-densified (cached) A — the
+    serve path of the densify variants (the scatter runs once at cache
+    build, not per call).  HIGHEST keeps the gate-exactness class of the
+    scatter-per-call spmm_densify it replaces."""
+    return jnp.dot(a_dense, b.astype(jnp.float32),
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def expand_indptr(indptr: np.ndarray, nnz: int) -> np.ndarray:
     """Host-side CSR indptr → per-entry row ids (static preprocessing)."""
     indptr = np.asarray(indptr)
