@@ -71,6 +71,17 @@ def select_format(a, n_width: int = 256,
     stats = analyze(a)
     if stats.block_fill_8x128 > 0.5:
         return "bsr", "pallas_block_stream"
+    # measured dispatch routing (dispatch._CHIP_THRESHOLDS): past ~0.4%
+    # density with an affordable dense A, one MXU matmul on the cached
+    # densified operand beats every sparse decomposition — keep the
+    # --auto recommendation consistent with the measured heuristic
+    from tpuspmm.kernels.dispatch import thresholds
+
+    th = thresholds()
+    if (stats.density >= th["densify_min_density"]
+            and stats.shape[0] * stats.shape[1] * 4
+            <= th["densify_max_bytes"]):
+        return "csr", "xla_densify_matmul"
     # tile-sparse pays off when each visited tile carries enough nnz
     if stats.tile_occupancy > 0.25 or stats.density > 0.02:
         m_pad = -(-stats.shape[0] // 128) * 128
