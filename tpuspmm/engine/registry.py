@@ -165,35 +165,7 @@ def _staged_ok(a, b, config):
 def _densify_matmul(a, b, config):
     from tpuspmm.ops import xla
 
-    b = jnp.asarray(b)
-    coo = xla.coo_view(a)
-    if b.dtype == jnp.float64:
-        # rare f64 serving: keep the scatter-per-call path so the
-        # accumulator dtype follows the operand
-        rows, cols, vals = xla._cached_device(
-            coo, "triplets",
-            lambda: (jnp.asarray(np.asarray(coo.rows)),
-                     jnp.asarray(np.asarray(coo.cols)),
-                     jnp.asarray(np.asarray(coo.values))),
-        )
-        return xla.spmm_densify(
-            rows, cols, vals, b,
-            num_rows=a.shape[0], num_cols=a.shape[1],
-        )
-    # A is static across serving calls: densify ONCE and cache the dense
-    # operand on the container — the previous per-call scatter re-paid a
-    # zeros-init + nnz scatter of the full dense A every serve (0.45 ms
-    # of the pruned-LLM config's 0.6 ms, round-5 profiling)
-    def _build():
-        rows = np.asarray(coo.rows)
-        cols = np.asarray(coo.cols)
-        vals = np.asarray(coo.values, dtype=np.float64)
-        dense = np.zeros(a.shape, np.float64)
-        np.add.at(dense, (rows, cols), vals)  # duplicates accumulate
-        return jnp.asarray(dense.astype(np.float32))
-
-    a_dense = xla._cached_device(coo, "dense_f32", _build)
-    return xla.dense_matmul(a_dense, b)
+    return xla.spmm_densify_cached(a, b)
 
 
 def _densify_ok(a, b, config):

@@ -139,17 +139,13 @@ def _spmm_xla_any(a, b):
 
 
 def _densify(a, b):
+    # shared with the registry's xla_densify_matmul variant: densify ONCE
+    # (cached on the COO view), serve one HIGHEST MXU matmul per call —
+    # the previous per-call scatter re-paid a zeros-init + nnz scatter of
+    # the full dense A on every serve
     from tpuspmm.ops import xla
 
-    coo = xla.coo_view(a)
-    rows, cols, vals = xla._cached_device(
-        coo, "triplets",
-        lambda: (jnp.asarray(np.asarray(coo.rows)),
-                 jnp.asarray(np.asarray(coo.cols)),
-                 jnp.asarray(np.asarray(coo.values))),
-    )
-    return xla.spmm_densify(rows, cols, vals, b,
-                            num_rows=a.shape[0], num_cols=a.shape[1])
+    return xla.spmm_densify_cached(a, b)
 
 
 def spmm_pallas(a, b, interpret=None, config=None):

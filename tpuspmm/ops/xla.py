@@ -92,6 +92,35 @@ def dense_matmul(a_dense, b):
                    precision=jax.lax.Precision.HIGHEST)
 
 
+def spmm_densify_cached(a, b):
+    """Container-level densify strategy: A is static across serving
+    calls, so densify ONCE on the host (f64 accumulate — duplicates
+    fold deterministically), cache the f32 dense operand on the COO
+    view, and serve one HIGHEST MXU matmul per call.  f64 operands keep
+    the scatter-per-call path so the accumulator follows the operand."""
+    b = jnp.asarray(b)
+    coo = coo_view(a)
+    if b.dtype == jnp.float64:
+        rows, cols, vals = _cached_device(
+            coo, "triplets",
+            lambda: (jnp.asarray(np.asarray(coo.rows)),
+                     jnp.asarray(np.asarray(coo.cols)),
+                     jnp.asarray(np.asarray(coo.values))),
+        )
+        return spmm_densify(rows, cols, vals, b,
+                            num_rows=a.shape[0], num_cols=a.shape[1])
+
+    def _build():
+        rows = np.asarray(coo.rows)
+        cols = np.asarray(coo.cols)
+        vals = np.asarray(coo.values, dtype=np.float64)
+        dense = np.zeros(a.shape, np.float64)
+        np.add.at(dense, (rows, cols), vals)  # duplicates accumulate
+        return jnp.asarray(dense.astype(np.float32))
+
+    return dense_matmul(_cached_device(coo, "dense_f32", _build), b)
+
+
 def expand_indptr(indptr: np.ndarray, nnz: int) -> np.ndarray:
     """Host-side CSR indptr → per-entry row ids (static preprocessing)."""
     indptr = np.asarray(indptr)
