@@ -34,10 +34,15 @@ gate
 step python -m bench.pruned_llm --repeats 12 > results/pruned_llm.jsonl
 step python -m bench.pruned_llm --repeats 12 --b-dtype bf16 \
     >> results/pruned_llm.jsonl
-# ... and give the COO engine's new densify variant sparsity-sweep
-#     evidence (CSR's has it since round 2)
+# ... and regenerate the sparsity artifact with the current engine in
+#     one generation: the committed f32 records carry the pre-cache
+#     densify times (per-call scatter) and no COO densify at all, and
+#     the r5 queue's bf16 step appended to that stale base
+step python -m bench.sweep_sparsity --formats csr,coo --repeats 5 \
+    --fresh --out results/sparsity.jsonl
 step python -m bench.sweep_sparsity --densities 0.3,0.6,0.9 \
-    --formats coo --repeats 5 --out results/sparsity.jsonl
+    --formats csr,coo --repeats 5 --b-dtype bf16 \
+    --out results/sparsity.jsonl
 
 # 1. profiler trace of the served headline kernel (pallas_panel_split =
 #    CSR kernel 8) on the headline matrix, then the occupancy summary
