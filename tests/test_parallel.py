@@ -311,6 +311,23 @@ def test_kshard_panel_local_uneven():
     assert allclose(out, ref, 1e-2, 1e-3)
 
 
+def test_kshard_panel_local_supertiled():
+    """Explicit sm < m_local: the full-height partial is supertiled, the
+    un-supertile reshape runs inside the psum_scatter callable."""
+    from tpuspmm.parallel import spmm_kshard
+    from tpuspmm.parallel.shard import bucket_panelplans
+
+    rng = np.random.default_rng(5)
+    a = CSR.random(264, 520, 0.06, seed=11)
+    b = rng.standard_normal((520, 96)).astype(np.float32)
+    ref = oracle.spmm_oracle(a, b)
+    mesh = make_mesh((4,), ("rows",))
+    plans = bucket_panelplans(a, 1, 4, sm=64, m_align=4)
+    assert plans.n_supertiles > 1
+    out = np.asarray(spmm_kshard(a, b, mesh, local="panel", plans=plans))
+    assert allclose(out, ref, 1e-2, 1e-3)
+
+
 def test_kshard_tile_local(problem):
     from tpuspmm.parallel import spmm_kshard
 
