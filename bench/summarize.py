@@ -32,7 +32,17 @@ def load(paths):
 
 def summarize(records):
     groups = defaultdict(list)
+    # --isolate parents write sweep_incomplete markers with only
+    # (testcase, format) — no operand provenance — so they must flag
+    # EVERY provenance-keyed group of that (testcase, format) rather
+    # than forming a phantom ("", "") group of their own (review r5:
+    # a fault-truncated group must never read as complete-and-green)
+    incomplete_groups = set()
     for r in records:
+        if r.get("sweep_incomplete") == "1":
+            incomplete_groups.add((r.get("testcase", "?"),
+                                   r.get("format", "?")))
+            continue
         # operand provenance is part of the group key (VERDICT r4 weak
         # #5): a width-1024 bf16 record must not share a "best kernel"
         # row with the width-256 f32 run of the same dir.  Legacy records
@@ -40,6 +50,10 @@ def summarize(records):
         # (testcase, format), preserving the old behaviour.
         groups[(r.get("testcase", "?"), r.get("format", "?"),
                 r.get("bCols", ""), r.get("bDtype", ""))].append(r)
+    # a marker whose group shipped NO records at all still needs a row
+    for tc, fmt in incomplete_groups:
+        if not any(k[0] == tc and k[1] == fmt for k in groups):
+            groups[(tc, fmt, "", "")] = []
     rows = []
     for (tc, fmt, bcols, bdt), recs in sorted(
             groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
@@ -61,7 +75,7 @@ def summarize(records):
         # an --isolate parent marks a group whose child crashed or stayed
         # device-faulted after retries — a truncated group must never
         # read as complete-and-green
-        incomplete = any(r.get("sweep_incomplete") == "1" for r in recs)
+        incomplete = (tc, fmt) in incomplete_groups
         best = min(timed, key=lambda r: r["tpuKernelTimeMs"]) if timed else None
         vendor = next((r for r in timed if r.get("kernelType") == "-1"), None)
         rows.append({

@@ -11,7 +11,7 @@ Chrome-trace JSON that ``jax.profiler.start_trace`` writes.
 Usage::
 
     python -m tpuspmm.cli --csr -d data/large_25605 --width 256 \
-        --kernel 9 --trace /tmp/panel_trace
+        --kernel 8 --trace /tmp/panel_trace    # 8 = pallas_panel_split
     python -m bench.trace_report /tmp/panel_trace \
         [--out results/trace_report.json]
 

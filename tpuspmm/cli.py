@@ -185,15 +185,15 @@ def main(argv=None) -> int:
                 if not ok:
                     status = 1
                 continue
+            # emit=False always: provenance must be applied BEFORE the
+            # records reach stdout too, not only the --out stream
             records = run_engine(
                 engine, a, b, testcase=testcase, config=config,
                 skip_seq=args.skip_seq, run_vendor=not args.no_vendor,
-                repeats=args.repeats, emit=out_stream is None,
+                repeats=args.repeats, emit=False,
             )
-            records = [_provenance(rec) for rec in records]
-            if out_stream is not None:
-                for rec in records:
-                    report_mod.emit(rec, out_stream)
+            for rec in records:
+                report_mod.emit(_provenance(rec), out_stream or sys.stdout)
             if any(rec.get("correct") == "0" and rec.get("verifiedOnly") != "1"
                    for rec in records):
                 status = 1

@@ -169,8 +169,22 @@ def _densify_matmul(a, b, config):
 
 
 def _densify_ok(a, b, config):
-    # dense A must be affordable (≤1 GiB f32)
-    return a.shape[0] * a.shape[1] * 4 <= (1 << 30)
+    # The cached densify pays a one-time host scatter + full-dense H2D
+    # transfer and pins the dense operand in HBM for the container's
+    # lifetime, so admission must prevent hyper-sparse LARGE matrices
+    # from paying ~1 GiB of transfer for a variant that cannot win
+    # (review r5).  Small dense operands (≤ the chip's measured densify
+    # routing cap) are always worth measuring; between that and the
+    # 1 GiB hard cap only matrices at/above the measured density floor
+    # qualify.
+    from tpuspmm.kernels.dispatch import thresholds
+
+    th = thresholds()
+    dense_bytes = a.shape[0] * a.shape[1] * 4
+    if dense_bytes <= th["densify_max_bytes"]:
+        return True
+    return (dense_bytes <= (1 << 30)
+            and a.sparsity >= th["densify_min_density"])
 
 
 def _cres(a, b, config):
