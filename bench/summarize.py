@@ -91,8 +91,11 @@ def summarize(records):
             "best_kernel": best.get("kernelName") or best.get("kernelType") if best else "-",
             "best_ms": round(best["tpuKernelTimeMs"], 3) if best else None,
             "gflops": round(best.get("gflops", 0), 2) if best else None,
+            # only meaningful above the chained timer's ~2 µs noise floor
+            # (same guard as make_record's derived-throughput fields)
             "vs_vendor": (round(vendor["tpuKernelTimeMs"] / best["tpuKernelTimeMs"], 2)
-                          if best and vendor and best["tpuKernelTimeMs"] > 0 else None),
+                          if best and vendor and best["tpuKernelTimeMs"] > 2e-3
+                          else None),
         })
     return rows
 
