@@ -167,6 +167,21 @@ def main(argv=None) -> int:
                     result = force(engine.run_kernel(args.kernel, a, b, config))
                     times.append((_time.perf_counter() - t1) * 1e3)
                 kernel_ms = float(np.median(times))
+                import jax as _jax
+
+                if _jax.default_backend() in ("tpu", "axon") and args.kernel != 0:
+                    # per-call wall time through the tunnel carries the
+                    # ~RTT (a 0.2 ms kernel reads as 200 ms) — report
+                    # chained device time like run_engine's timed_run
+                    from tpuspmm.utils.timing import device_time_ms
+
+                    import jax.numpy as _jnp
+
+                    b_dev = _jnp.asarray(b)
+                    kernel_ms = device_time_ms(
+                        lambda bb: engine.run_kernel(args.kernel, a, bb,
+                                                     config),
+                        b_dev, iters=max(8, args.repeats))
                 ref = oracle_mod.spmm_scipy_oracle(a, b)
                 ok = allclose(np.asarray(result), ref, config.rel_tol, config.abs_tol)
                 if args.kernel > 0:
