@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-5c TPU session — run AFTER bench/tpu_session_r5b.sh: settle the
+# f32 pruned-LLM panel outliers (0.62/1.77/10.8 ms across sparsity
+# levels in the 14:14 capture vs flat 0.60 at 12:17 and flat 0.31 in
+# the bf16 pass — same matrices, same geometry machinery, neighbouring
+# kernels matching to 2%: transient-suspect).  One fresh f32 capture;
+# the committed artifact keeps whichever pair of captures agrees.
+#
+# No kills/timeouts on TPU steps (tunnel-wedge discipline, CLAUDE.md).
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/r5c_tpu_session.log}
+echo "[$(date)] r5c TPU session runner started" | tee "$LOG"
+
+python -m bench.await_tpu --budget 43200 --sleep 180 >> "$LOG" 2>&1 || exit 1
+echo "[$(date)] TUNNEL UP" >> "$LOG"
+
+step() {
+  echo "[$(date)] step: $*" >> "$LOG"
+  "$@" 2>> "$LOG"
+  echo "[$(date)] rc=$?" >> "$LOG"
+}
+
+step python -m bench.pruned_llm --repeats 12 > /tmp/r5c_pruned_f32.jsonl
+
+echo "[$(date)] r5c TPU session DONE" | tee -a "$LOG"
