@@ -113,13 +113,10 @@ def main(argv=None) -> int:
             bench("pallas_staged_b",
                   lambda bb: csr_vmem.spmm_staged(plan, bb))
     if "densify" not in skip and a.shape[0] * a.shape[1] * 4 <= (1 << 30):
-        coo = a.to_coo()
-        r_d, c_d, v_d = (jnp.asarray(np.asarray(coo.rows)),
-                         jnp.asarray(np.asarray(coo.cols)),
-                         jnp.asarray(np.asarray(coo.values)))
+        # cached-densify serve path (round 5): densify once, one dense
+        # MXU matmul per call — same strategy the registry variant serves
         bench("xla_densify_matmul",
-              lambda bb: xla.spmm_densify(r_d, c_d, v_d, bb,
-                                          num_rows=a.shape[0], num_cols=a.shape[1]))
+              lambda bb: xla.spmm_densify_cached(a, bb))
     if "vendor" not in skip:
         a_bcoo = vendor.to_bcoo(a)
         bench("vendor_bcoo", lambda bb: vendor._bcoo_spmm(a_bcoo, bb))
