@@ -11,6 +11,10 @@ is provided as well, with method selection:
 - "exact"  — compensated f32 accumulation (ops/exact.py): deterministic
   rel-1e-2/abs-1e-3 gate regardless of value magnitude (the reference's
   f64-accumulator guarantee, reference/src/main.cu:185)
+- "densify" — densify once (cached), one HIGHEST MXU matmul per call
+  (the high-density / pruned-LLM block-config winner)
+- "tuned"  — verified autotune: measure every admissible variant once,
+  serve the winner
 - "auto"   — pallas on TPU backends, xla elsewhere
 """
 
@@ -50,6 +54,11 @@ def spmm(a, b, method: str = "auto"):
         from tpuspmm.ops import exact
 
         return exact.spmm_exact(a, b)
+    if method == "densify":
+        # explicit high-density strategy: densify once (cached on the
+        # container), one HIGHEST MXU matmul per call — what wins the
+        # synthetic density sweep and the pruned-LLM block configs
+        return xla.spmm_densify_cached(a, b)
     raise ValueError(f"unknown method {method!r}")
 
 
