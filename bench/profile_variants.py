@@ -112,9 +112,11 @@ def main(argv=None) -> int:
                               tile_k=plan.tile_k):
             bench("pallas_staged_b",
                   lambda bb: csr_vmem.spmm_staged(plan, bb))
-    if "densify" not in skip and a.shape[0] * a.shape[1] * 4 <= (1 << 30):
+    if "densify" not in skip and a.shape[0] * a.shape[1] * 4 <= (1 << 29):
         # cached-densify serve path (round 5): densify once, one dense
-        # MXU matmul per call — same strategy the registry variant serves
+        # MXU matmul per call — same strategy the registry variant
+        # serves.  The cache build accumulates in host f64 (2x the f32
+        # dense bytes), so the guard admits half the old 1 GiB cap.
         bench("xla_densify_matmul",
               lambda bb: xla.spmm_densify_cached(a, bb))
     if "vendor" not in skip:

@@ -57,8 +57,12 @@ def summarize(records):
     rows = []
     for (tc, fmt, bcols, bdt), recs in sorted(
             groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+        # > 2 µs: below the chained timer's noise floor the time itself
+        # is untrustworthy (see make_record's derived-throughput guard),
+        # so such records must not win best_kernel either
         timed = [r for r in recs
-                 if r.get("correct") == "1" and r.get("tpuKernelTimeMs", 0) > 0
+                 if r.get("correct") == "1"
+                 and r.get("tpuKernelTimeMs", 0) > 2e-3
                  and r.get("kernelType") not in ("0",)]
         # Gate misses from opt-in verified-only variants (split2 etc.) are
         # expected behaviour — the variant is only served after the gate

@@ -12,7 +12,10 @@ cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/r5c_tpu_session.log}
 echo "[$(date)] r5c TPU session runner started" | tee "$LOG"
 
-python -m bench.await_tpu --budget 43200 --sleep 180 >> "$LOG" 2>&1 || exit 1
+python -m bench.await_tpu --budget 43200 --sleep 180 >> "$LOG" 2>&1 || {
+  echo "[$(date)] tunnel never recovered within budget" | tee -a "$LOG"
+  exit 1
+}
 echo "[$(date)] TUNNEL UP" >> "$LOG"
 
 step() {
@@ -21,6 +24,8 @@ step() {
   echo "[$(date)] rc=$?" >> "$LOG"
 }
 
-step python -m bench.pruned_llm --repeats 12 > /tmp/r5c_pruned_f32.jsonl
+# repo-resident output: the capture must survive a host reboot /tmp wipe
+step python -m bench.pruned_llm --repeats 12 \
+    > results/pruned_llm_f32_recheck.jsonl
 
 echo "[$(date)] r5c TPU session DONE" | tee -a "$LOG"

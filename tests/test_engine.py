@@ -925,3 +925,18 @@ def test_densify_variant_all_formats(small):
     out = np.asarray(get_engine("coo").variant(7).fn(
         c, np.eye(4, dtype=np.float32), cfg))
     assert out[0, 1] == 4.0
+
+
+def test_spmm_method_densify(small):
+    """Public spmm(method='densify') routes through the cached dense
+    operand for every container kind, including formats outside the
+    engine registry (CSC serves via its COO view)."""
+    from tpuspmm.formats import convert
+    from tpuspmm.ops.xla import coo_view
+
+    a, b, ref = small
+    for fmt in ("csr", "coo", "bsr", "ell", "csc"):
+        af = convert.to_format(a, fmt)
+        out = np.asarray(tpuspmm.spmm(af, b, method="densify"))
+        assert allclose(out, ref, 1e-2, 1e-3), fmt
+        assert "dense_f32" in getattr(coo_view(af), "_xla_cache", {}), fmt

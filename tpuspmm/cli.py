@@ -158,18 +158,32 @@ def main(argv=None) -> int:
                 from tpuspmm.utils.timing import force
                 from tpuspmm.ops import oracle as oracle_mod
 
+                import jax as _jax
+
+                on_tpu = (_jax.default_backend() in ("tpu", "axon")
+                          and args.kernel != 0)
                 t0 = _time.perf_counter()
                 result = force(engine.run_kernel(args.kernel, a, b, config))
                 prolog_ms = (_time.perf_counter() - t0) * 1e3
+                # wall repeats mirror run_engine.timed_run: they anchor
+                # the prolog subtraction and the perCallLatencyMs field.
+                # On the tunneled TPU each forced fetch costs ~an RTT, so
+                # cap the loop — the kernel time comes from the chained
+                # device timer below, not this median.
+                n_wall = min(3, max(1, args.repeats)) if on_tpu \
+                    else max(1, args.repeats)
                 times = []
-                for _ in range(max(1, args.repeats)):
+                for _ in range(n_wall):
                     t1 = _time.perf_counter()
                     result = force(engine.run_kernel(args.kernel, a, b, config))
                     times.append((_time.perf_counter() - t1) * 1e3)
-                kernel_ms = float(np.median(times))
-                import jax as _jax
-
-                if _jax.default_backend() in ("tpu", "axon") and args.kernel != 0:
+                per_call_ms = float(np.median(times))
+                # subtract the per-call WALL median (as run_engine does):
+                # subtracting the much smaller chained device time would
+                # inflate prolog by ~one tunnel RTT
+                prolog_ms = max(0.0, prolog_ms - per_call_ms)
+                kernel_ms = per_call_ms
+                if on_tpu:
                     # per-call wall time through the tunnel carries the
                     # ~RTT (a 0.2 ms kernel reads as 200 ms) — report
                     # chained device time like run_engine's timed_run
@@ -193,8 +207,9 @@ def main(argv=None) -> int:
                     testcase=testcase, sparsity=a.sparsity, fmt=fmt,
                     kernel_type=args.kernel, kernel_name=kname,
                     correct=ok, nnz=a.nnz, shape=a.shape,
-                    n=b.shape[1], prolog_ms=max(0.0, prolog_ms - kernel_ms),
+                    n=b.shape[1], prolog_ms=prolog_ms,
                     kernel_ms=kernel_ms,
+                    extra={"perCallLatencyMs": round(per_call_ms, 4)},
                 )
                 report_mod.emit(_provenance(rec), out_stream or sys.stdout)
                 if not ok:
