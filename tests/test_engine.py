@@ -940,3 +940,40 @@ def test_spmm_method_densify(small):
         out = np.asarray(tpuspmm.spmm(af, b, method="densify"))
         assert allclose(out, ref, 1e-2, 1e-3), fmt
         assert "dense_f32" in getattr(coo_view(af), "_xla_cache", {}), fmt
+
+
+def test_vendor_width_tiled_fallback(small, monkeypatch):
+    """When the whole-width vendor program fails to compile (the
+    persistent remote-compile INTERNAL on large_20000's 20000-wide
+    operand), spmm_vendor discovers a width-tiled BCOO serve, pins the
+    tile on the container, and traced serves route through it."""
+    import warnings as _warnings
+
+    import jax.numpy as jnp
+
+    from tpuspmm.ops import vendor
+
+    a, _, _ = small
+    b = np.random.default_rng(3).standard_normal(
+        (a.shape[1], 512)).astype(np.float32)  # wide enough to tile
+    ref = oracle.spmm_oracle(a, b)
+    c = convert.to_format(a, "coo")
+    calls = {"n": 0}
+    real = vendor._bcoo_spmm
+
+    def failing(a_bcoo, bb):
+        calls["n"] += 1
+        raise RuntimeError("INTERNAL: http://remote_compile 500")
+
+    monkeypatch.setattr(vendor, "_bcoo_spmm", failing)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        out = np.asarray(vendor.spmm_vendor(c, b))
+    assert allclose(out, ref, 1e-2, 1e-3)
+    assert vendor.last_lowering(c).startswith("bcoo_tiled")
+    assert c._vendor_cache["tile_n"] < b.shape[1]
+    # subsequent serves route straight to the tiled path (no rediscovery)
+    n_before = calls["n"]
+    out2 = np.asarray(vendor.spmm_vendor(c, b))
+    assert calls["n"] == n_before and allclose(out2, ref, 1e-2, 1e-3)
+    monkeypatch.setattr(vendor, "_bcoo_spmm", real)
