@@ -28,4 +28,12 @@ step() {
 step python -m bench.pruned_llm --repeats 12 \
     > results/pruned_llm_f32_recheck.jsonl
 
+# re-drive large_20000 bsr with the width-tiled vendor fallback: the
+# last errored record in the corpus (persistent whole-width
+# remote-compile 500) should now serve as bcoo_tiledN and splice green
+step python -m bench.sweep_formats --repeats 5 --fresh --isolate \
+    --dirs large_20000 --formats bsr --out /tmp/r5c_l20k.jsonl
+step python -m bench.splice_sweep --into results/formats_full.jsonl \
+    --part /tmp/r5c_l20k.jsonl > /tmp/r5c_splice.json
+
 echo "[$(date)] r5c TPU session DONE" | tee -a "$LOG"
