@@ -33,7 +33,13 @@ step python -m bench.pruned_llm --repeats 12 \
 # remote-compile 500) should now serve as bcoo_tiledN and splice green
 step python -m bench.sweep_formats --repeats 5 --fresh --isolate \
     --dirs large_20000 --formats bsr --out /tmp/r5c_l20k.jsonl
+# ... and refresh the only corpus groups swept before the densify
+# variant landed (small_210 ran at 12:3x, the registry gained
+# coo/bsr/ell densify at 12:5x) so every group reflects one engine rev
+step python -m bench.sweep_formats --repeats 5 --fresh --isolate \
+    --dirs small_210 --formats coo --out /tmp/r5c_s210.jsonl
+cat /tmp/r5c_l20k.jsonl /tmp/r5c_s210.jsonl > /tmp/r5c_resweep.jsonl
 step python -m bench.splice_sweep --into results/formats_full.jsonl \
-    --part /tmp/r5c_l20k.jsonl > /tmp/r5c_splice.json
+    --part /tmp/r5c_resweep.jsonl > /tmp/r5c_splice.json
 
 echo "[$(date)] r5c TPU session DONE" | tee -a "$LOG"
