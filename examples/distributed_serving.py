@@ -29,7 +29,12 @@ Run (8 virtual CPU devices unless on a real slice)::
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# allow running as a plain script from anywhere: put the repo root on
+# sys.path when tpuspmm is not installed
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

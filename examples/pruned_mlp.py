@@ -21,7 +21,12 @@ distributed test suite exercises on the 8-virtual-device CPU mesh.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# allow running as a plain script from anywhere: put the repo root on
+# sys.path when tpuspmm is not installed
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
