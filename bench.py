@@ -205,6 +205,17 @@ def _run(argv, degraded: bool = False) -> int:
         "bDtype": "f32",
         "bSource": b_source,
     }
+    try:
+        from tpuspmm.utils.timing import tunnel_rtt_ms
+
+        # window-quality provenance: serve times on this shared tunnel
+        # drift with backend load (round 5 measured the same kernel op
+        # at a stable 132 us while chained serves read 0.14-0.19 ms as
+        # RTT moved 51->75 ms) — the judge of a slow capture needs the
+        # RTT it was taken under
+        record["tunnelRttMs"] = round(tunnel_rtt_ms(), 1)
+    except Exception:
+        pass
     if bf16_ms is not None:
         record["bf16_serving_ms"] = round(bf16_ms, 4)
         record["bf16_serving_correct"] = bf16_correct
