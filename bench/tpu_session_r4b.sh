@@ -23,7 +23,13 @@ echo "[$(date)] TUNNEL UP" | tee -a "$LOG"
 step() {
   echo "[$(date)] step: $*" >> "$LOG"
   "$@" 2>> "$LOG"
-  echo "[$(date)] rc=$?" >> "$LOG"
+  local rc=$?
+  # NB $? must be captured BEFORE any $(...) substitution — the
+  # substitution's own exit status clobbers it (every rc= line logged by
+  # earlier rounds' runbooks was vacuously 0; artifacts were verified
+  # directly, but the logs lied)
+  echo "[$(date)] rc=$rc" >> "$LOG"
+  return $rc
 }
 
 # 1. compile+verify every variant end-to-end on the chip, f32 then the

@@ -22,7 +22,13 @@ gate() {
 step() {
   echo "[$(date)] step: $*" >> "$LOG"
   "$@" 2>> "$LOG"
-  echo "[$(date)] rc=$?" >> "$LOG"
+  local rc=$?
+  # NB $? must be captured BEFORE any $(...) substitution — the
+  # substitution's own exit status clobbers it (every rc= line logged by
+  # earlier rounds' runbooks was vacuously 0; artifacts were verified
+  # directly, but the logs lied)
+  echo "[$(date)] rc=$rc" >> "$LOG"
+  return $rc
 }
 
 gate

@@ -21,7 +21,13 @@ echo "[$(date)] TUNNEL UP" >> "$LOG"
 step() {
   echo "[$(date)] step: $*" >> "$LOG"
   "$@" 2>> "$LOG"
-  echo "[$(date)] rc=$?" >> "$LOG"
+  local rc=$?
+  # NB $? must be captured BEFORE any $(...) substitution — the
+  # substitution's own exit status clobbers it (every rc= line logged by
+  # earlier rounds' runbooks was vacuously 0; artifacts were verified
+  # directly, but the logs lied)
+  echo "[$(date)] rc=$rc" >> "$LOG"
+  return $rc
 }
 
 # repo-resident output: the capture must survive a host reboot /tmp wipe

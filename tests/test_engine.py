@@ -959,7 +959,6 @@ def test_vendor_width_tiled_fallback(small, monkeypatch):
     ref = oracle.spmm_oracle(a, b)
     c = convert.to_format(a, "coo")
     calls = {"n": 0}
-    real = vendor._bcoo_spmm
 
     def failing(a_bcoo, bb):
         calls["n"] += 1
@@ -976,4 +975,11 @@ def test_vendor_width_tiled_fallback(small, monkeypatch):
     n_before = calls["n"]
     out2 = np.asarray(vendor.spmm_vendor(c, b))
     assert calls["n"] == n_before and allclose(out2, ref, 1e-2, 1e-3)
-    monkeypatch.setattr(vendor, "_bcoo_spmm", real)
+    # a B narrower than the pinned tile serves whole-width (monkeypatch
+    # still active, so the failing stub proves the routing): the pinned
+    # tile must not pad a narrow operand up to the wide discovery
+    b_narrow = b[:, :32]
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="INTERNAL"):
+        vendor.spmm_vendor(c, b_narrow)

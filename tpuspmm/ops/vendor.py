@@ -31,19 +31,28 @@ def _bcoo_spmm(a_bcoo, b):
 
 @functools.partial(jax.jit, static_argnames=("tile",))
 def _bcoo_spmm_tiled(a_bcoo, b, tile: int):
-    """Width-tiled vendor matmul: one lax.map loop over fixed-width B
-    column slabs.  The compiled program holds ONE tile-width sparse
-    einsum regardless of N — the whole-width program for e.g. a 20000²
-    operand times a 20000-wide B exceeds what the remote compiler
-    accepts (persistent INTERNAL 500, rounds 3-5), while the same
-    compute as 10 × 2048-wide slabs compiles fine.  Same vendor compute
+    """Width-tiled vendor matmul: a fori_loop of fixed-width B column
+    slabs sliced in place and accumulated in place.  The compiled
+    program holds ONE tile-width sparse einsum regardless of N — the
+    whole-width program for e.g. a 20000² operand times a 20000-wide B
+    exceeds what the remote compiler accepts (persistent INTERNAL 500,
+    rounds 3-5).  dynamic_slice/dynamic_update_slice keep peak HBM at
+    B + C + one slab (the first lax.map design stacked reshaped copies
+    of both and RESOURCE_EXHAUSTED at this size).  Same vendor compute
     (jax.experimental.sparse), just batched."""
     k, n = b.shape
     n_pad = -(-n // tile) * tile
     bp = jnp.pad(b, ((0, 0), (0, n_pad - n)))
-    slabs = jnp.moveaxis(bp.reshape(k, n_pad // tile, tile), 1, 0)
-    out = jax.lax.map(lambda s: a_bcoo @ s, slabs)       # (S, m, tile)
-    return jnp.moveaxis(out, 0, 1).reshape(a_bcoo.shape[0], n_pad)[:, :n]
+    m = a_bcoo.shape[0]
+
+    def body(i, acc):
+        s = jax.lax.dynamic_slice(bp, (0, i * tile), (k, tile))
+        return jax.lax.dynamic_update_slice(acc, a_bcoo @ s, (0, i * tile))
+
+    out = jax.lax.fori_loop(
+        0, n_pad // tile, body,
+        jnp.zeros((m, n_pad), jnp.result_type(a_bcoo.dtype, bp.dtype)))
+    return out[:, :n]
 
 
 def supports_vendor(fmt: str) -> bool:
@@ -122,6 +131,18 @@ def spmm_vendor(a, b):
             pass
 
     b = jnp.asarray(b)
+    # a container whose whole-width program previously failed serves
+    # straight through its discovered tile width — checked BEFORE any
+    # whole-width attempt (incl. the CSR/BCSR one) so traced serves
+    # route deterministically and eager serves never re-pay the failing
+    # compile.  A B narrower than the pinned tile gets the whole-width
+    # path (its program is smaller than the one that failed).
+    cache = getattr(a, "_vendor_cache", None)
+    tile = cache.get("tile_n") if cache is not None else None
+    if tile is not None and tile < b.shape[1]:
+        out = _bcoo_spmm_tiled(to_bcoo(a), b, tile)
+        note(f"bcoo_tiled{tile}")
+        return out
     if isinstance(a, CSR):
         try:
             out = _bcoo_spmm(to_bcsr(a), b)
@@ -136,15 +157,6 @@ def spmm_vendor(a, b):
                     "falling back to BCOO — baseline comparisons will use "
                     "the BCOO lowering", RuntimeWarning)
     bcoo = to_bcoo(a)
-    # a container whose whole-width program previously failed to compile
-    # serves straight through its discovered tile width (the discovery
-    # below is eager; the traced serve must route deterministically)
-    cache = getattr(a, "_vendor_cache", None)
-    tile = cache.get("tile_n") if cache is not None else None
-    if tile is not None:
-        out = _bcoo_spmm_tiled(bcoo, b, tile)
-        note(f"bcoo_tiled{tile}")
-        return out
     if isinstance(b, jax.core.Tracer):
         # under an outer trace (e.g. the chained timer) compile errors
         # surface at the OUTER jit, not here — discovery must happen on
@@ -157,8 +169,13 @@ def spmm_vendor(a, b):
         note("bcoo")
         return out
     except Exception as e:
-        # whole-width compile failed (remote-compile INTERNAL on huge
-        # N); fall back to width-tiled slabs, widest that compiles
+        # Whole-width program failed.  Only COMPILE-class failures are
+        # worth a tiled retry; infra faults must surface immediately —
+        # retrying five tile widths against a wedged tunnel multiplies
+        # the stall and masks the root fault from the runner's
+        # device-fault detection (review r5).
+        if "UNAVAILABLE" in str(e):
+            raise
         last = e
         for t in (2048, 1024, 512, 256, 128):
             if t >= b.shape[1]:
@@ -167,7 +184,16 @@ def spmm_vendor(a, b):
                 out = _bcoo_spmm_tiled(bcoo, b, t)
             except Exception as e2:
                 last = e2
+                if any(s in str(e2) for s in ("UNAVAILABLE",
+                                              "RESOURCE_EXHAUSTED")):
+                    # peak memory is B + C + one slab — invariant to the
+                    # tile width, so smaller tiles cannot help; a wedge
+                    # cannot either
+                    break
                 continue
+            # re-fetch: to_bcoo above created the cache dict if the
+            # container had none when `cache` was first read
+            cache = getattr(a, "_vendor_cache", None)
             if cache is not None:
                 cache["tile_n"] = t
             warnings.warn(
