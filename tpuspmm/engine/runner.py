@@ -141,15 +141,28 @@ def run_engine(
             times.append((time.perf_counter() - t1) * 1e3)
         per_call_ms = float(np.median(times))
         prolog_ms = max(0.0, prolog_ms - per_call_ms)
+        timing_mode = "chained"
         if on_tpu:
-            kernel_ms = device_time_ms(fn_of_b, b_dev,
-                                       iters=max(8, repeats))
+            try:
+                kernel_ms = device_time_ms(fn_of_b, b_dev,
+                                           iters=max(8, repeats))
+            except Exception as e:
+                # the chained program multiplies the serve's working set
+                # (iters dependent applications live in ONE jit) and can
+                # RESOURCE_EXHAUST where the serve itself runs fine
+                # (large_20000 vendor, round 5) — a timing-path failure
+                # must not error a record whose serve succeeded.  Wall
+                # per-call time is honest for multi-second serves (the
+                # ~RTT it includes is noise at that scale); the record
+                # says which timer produced it.
+                kernel_ms = per_call_ms
+                timing_mode = f"wall ({type(e).__name__})"
         else:
             kernel_ms = per_call_ms
         t2 = time.perf_counter()
         host = np.asarray(out)
         epilog_ms = (time.perf_counter() - t2) * 1e3
-        return host, prolog_ms, kernel_ms, epilog_ms, per_call_ms
+        return host, prolog_ms, kernel_ms, epilog_ms, per_call_ms, timing_mode
 
     # ---- kernels 1..N (engine.cpp:41-43) --------------------------------
     device_fault = False
@@ -164,11 +177,14 @@ def run_engine(
             records.append(rec)
             continue
         try:
-            host, prolog_ms, kernel_ms, epilog_ms, per_call_ms = timed_run(
+            (host, prolog_ms, kernel_ms, epilog_ms, per_call_ms,
+             timing_mode) = timed_run(
                 lambda bb, v=variant: v.fn(a, bb, config)
             )
             ok = allclose(host, ref, rel_tol=config.rel_tol, abs_tol=config.abs_tol)
             extra = {"perCallLatencyMs": round(per_call_ms, 4)}
+            if timing_mode != "chained":
+                extra["timingMode"] = timing_mode
             geom = _resolved_geometry(variant.name, a, b_host, config)
             if geom is not None:
                 # geometry provenance (tm/P/tk/sm/order/plan_mb or
@@ -212,16 +228,20 @@ def run_engine(
         from tpuspmm.ops import vendor
 
         try:
-            host, prolog_ms, kernel_ms, epilog_ms, per_call_ms = timed_run(
+            (host, prolog_ms, kernel_ms, epilog_ms, per_call_ms,
+             timing_mode) = timed_run(
                 lambda bb: vendor.spmm_vendor(a, bb)
             )
             ok = allclose(host, ref, rel_tol=config.rel_tol, abs_tol=config.abs_tol)
+            vextra = {"perCallLatencyMs": round(per_call_ms, 4),
+                      "vendorLowering": vendor.last_lowering(a)}
+            if timing_mode != "chained":
+                vextra["timingMode"] = timing_mode
             rec = report_mod.make_record(
                 kernel_type=-1, kernel_name="jax_sparse_bcoo",
                 correct=ok, prolog_ms=prolog_ms, kernel_ms=kernel_ms,
                 epilog_ms=epilog_ms, sequential_ms=seq_ms,
-                extra={"perCallLatencyMs": round(per_call_ms, 4),
-                       "vendorLowering": vendor.last_lowering(a)}, **common,
+                extra=vextra, **common,
             )
         except Exception as e:
             # fault, not falsehood — same policy as the variant loop above
