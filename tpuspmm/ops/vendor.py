@@ -139,6 +139,23 @@ def spmm_vendor(a, b):
     # path (its program is smaller than the one that failed).
     cache = getattr(a, "_vendor_cache", None)
     tile = cache.get("tile_n") if cache is not None else None
+    if tile is None:
+        # proactive routing for shapes whose whole-width program cannot
+        # fit: attempting it OOMs the device and POISONS the client
+        # (every later call fails — the same failure mode sweep
+        # --isolate exists for), so exception-driven discovery never
+        # gets to run a tile.  B + C over ~2 GiB reroutes (large_20000:
+        # 3.2 GiB combined — observed compile-then-OOM-then-poison;
+        # large_21074/15120 at ~1.0-1.2 GiB serve whole-width fine).
+        m, k = a.shape
+        n = int(b.shape[1])
+        if (m + k) * n * 4 > 2 * 1024 ** 3 and n > 2048:
+            tile = 2048
+            if cache is None:
+                to_bcoo(a)  # creates the container cache
+                cache = getattr(a, "_vendor_cache", None)
+            if cache is not None:
+                cache["tile_n"] = tile
     if tile is not None and tile < b.shape[1]:
         out = _bcoo_spmm_tiled(to_bcoo(a), b, tile)
         note(f"bcoo_tiled{tile}")
