@@ -42,7 +42,9 @@ def _bcoo_spmm_tiled(a_bcoo, b, tile: int):
     (jax.experimental.sparse), just batched."""
     k, n = b.shape
     n_pad = -(-n // tile) * tile
-    bp = jnp.pad(b, ((0, 0), (0, n_pad - n)))
+    # no pad copy when the tile divides N — at large_20000 scale the
+    # padded copy alone is 1.6 GB of HBM the serve cannot spare
+    bp = b if n_pad == n else jnp.pad(b, ((0, 0), (0, n_pad - n)))
     m = a_bcoo.shape[0]
 
     def body(i, acc):
@@ -150,7 +152,12 @@ def spmm_vendor(a, b):
         m, k = a.shape
         n = int(b.shape[1])
         if (m + k) * n * 4 > 2 * 1024 ** 3 and n > 2048:
-            tile = 2048
+            # prefer a tile that divides N: the tiled serve then slices
+            # B in place with NO padded copy (1.6 GB saved at the
+            # large_20000 scale, where free HBM on the shared chip is
+            # the binding constraint)
+            tile = next((t for t in range(2048, 511, -1) if n % t == 0),
+                        2048)
             if cache is None:
                 to_bcoo(a)  # creates the container cache
                 cache = getattr(a, "_vendor_cache", None)
