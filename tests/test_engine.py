@@ -983,3 +983,78 @@ def test_vendor_width_tiled_fallback(small, monkeypatch):
 
     with _pytest.raises(RuntimeError, match="INTERNAL"):
         vendor.spmm_vendor(c, b_narrow)
+
+
+def test_runner_wall_fallback_when_chained_timer_fails(small, monkeypatch):
+    """A chained-timer failure (e.g. the timing program RESOURCE_EXHAUSTs
+    where the serve fits — large_20000 vendor, round 5) must degrade the
+    record to wall timing, not error it."""
+    import tpuspmm.engine.runner as runner_mod
+    from tpuspmm.engine.registry import Engine, KernelVariant
+    from tpuspmm.engine.runner import run_engine
+    from tpuspmm.ops import oracle as oracle_mod
+
+    a, b, _ = small
+
+    def good(a_, b_, cfg):
+        import jax.numpy as jnp
+
+        return jnp.asarray(oracle_mod.spmm_scipy_oracle(a_, np.asarray(b_))
+                           .astype(np.float32))
+
+    eng = Engine(fmt="csr", variants=[KernelVariant(1, "good", good)])
+    # force the TPU timing branch, then make the chained timer blow up
+    monkeypatch.setattr("jax.default_backend", lambda: "tpu")
+
+    def boom_timer(*a_, **k_):
+        raise RuntimeError("RESOURCE_EXHAUSTED: timing chain")
+
+    monkeypatch.setattr("tpuspmm.utils.timing.device_time_ms", boom_timer)
+    records = run_engine(eng, a, b, testcase="t", repeats=1, emit=False,
+                         run_vendor=False)
+    rec = next(r for r in records if r["kernelName"] == "good")
+    assert rec["correct"] == "1"
+    assert rec["tpuKernelTimeMs"] > 0
+    assert rec["timingMode"].startswith("wall")
+
+
+def test_vendor_proactive_tiled_routing(monkeypatch):
+    """Oversized operands (B+C > 2 GiB) must route to the width-tiled
+    serve WITHOUT attempting the whole-width program (which OOMs the
+    device and poisons the client at that scale); the tile divides N
+    when a divisor exists so B needs no padded copy."""
+    from tpuspmm.formats import COO
+    from tpuspmm.ops import vendor
+
+    # fake-huge shape via a tiny matrix whose shape metadata lies is not
+    # possible (frozen containers), so monkeypatch the whole-width path
+    # to assert it is never called for a synthetic big-shape container
+    calls = {"whole": 0}
+    real = vendor._bcoo_spmm
+
+    def spy(a_bcoo, bb):
+        calls["whole"] += 1
+        return real(a_bcoo, bb)
+
+    monkeypatch.setattr(vendor, "_bcoo_spmm", spy)
+
+    class BigShape(COO):
+        pass
+
+    rng = np.random.default_rng(0)
+    m, k, n = 64, 25000, 25000  # (m+k)*n*4 = 2.5 GiB > 2 GiB, n > 2048
+    rows = rng.integers(0, m, 200).astype(np.int32)
+    cols = rng.integers(0, k, 200).astype(np.int32)
+    a = COO(shape=(m, k), rows=rows, cols=cols,
+            values=rng.standard_normal(200).astype(np.float32))
+    b = rng.standard_normal((k, n)).astype(np.float32)
+    out = np.asarray(vendor.spmm_vendor(a, b))
+    assert calls["whole"] == 0  # whole-width never attempted
+    assert vendor.last_lowering(a) == "bcoo_tiled1250"
+    assert a._vendor_cache["tile_n"] == 1250  # largest divisor of 25000 <= 2048
+    from tpuspmm.ops import oracle
+
+    ref = oracle.spmm_oracle(a, b)
+    from tpuspmm.utils.compare import allclose
+
+    assert allclose(out, ref, 1e-2, 1e-3)
