@@ -1038,9 +1038,6 @@ def test_vendor_proactive_tiled_routing(monkeypatch):
 
     monkeypatch.setattr(vendor, "_bcoo_spmm", spy)
 
-    class BigShape(COO):
-        pass
-
     rng = np.random.default_rng(0)
     m, k, n = 64, 25000, 25000  # (m+k)*n*4 = 2.5 GiB > 2 GiB, n > 2048
     rows = rng.integers(0, m, 200).astype(np.int32)
