@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto", action="store_true", help="format-selection engine picks the format")
     p.add_argument("-d", "--data-dir", required=True, help="data directory (reference layout)")
     p.add_argument("--width", type=int, default=None, help="dense-operand width when synthesising B")
+    p.add_argument("--synth-b", action="store_true",
+                   help="ignore on-disk dense operands; synthesise B of "
+                        "--width (same contract as bench.sweep_formats)")
     p.add_argument("--b-dtype", default="f32", choices=["f32", "bf16"],
                    help="dense-operand ingestion dtype: bf16 is the "
                         "pruned-LLM serving mode (panel/pair then need a "
@@ -94,7 +97,8 @@ def main(argv=None) -> int:
         return 2
 
     testcase = os.path.basename(os.path.normpath(args.data_dir))
-    dense = convert.load_dense(args.data_dir, width=args.width)
+    dense = convert.load_dense(args.data_dir, width=args.width,
+                               force_synthetic=args.synth_b)
     b = np.asarray(dense.data, dtype=np.float32)
     if args.b_dtype == "bf16":
         import ml_dtypes
