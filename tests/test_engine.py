@@ -1037,9 +1037,11 @@ def test_vendor_proactive_tiled_routing(monkeypatch):
         return real(a_bcoo, bb)
 
     monkeypatch.setattr(vendor, "_bcoo_spmm", spy)
+    # shrink the routing threshold so the test shapes stay CI-sized
+    monkeypatch.setattr(vendor, "TILED_ROUTE_BYTES", 1 * 1024 * 1024)
 
     rng = np.random.default_rng(0)
-    m, k, n = 64, 25000, 25000  # (m+k)*n*4 = 2.5 GiB > 2 GiB, n > 2048
+    m, k, n = 64, 100, 2500  # (m+k)*n*4 = 1.6 MB > 1 MB, n > 2048
     rows = rng.integers(0, m, 200).astype(np.int32)
     cols = rng.integers(0, k, 200).astype(np.int32)
     a = COO(shape=(m, k), rows=rows, cols=cols,
@@ -1048,7 +1050,7 @@ def test_vendor_proactive_tiled_routing(monkeypatch):
     out = np.asarray(vendor.spmm_vendor(a, b))
     assert calls["whole"] == 0  # whole-width never attempted
     assert vendor.last_lowering(a) == "bcoo_tiled1250"
-    assert a._vendor_cache["tile_n"] == 1250  # largest divisor of 25000 <= 2048
+    assert a._vendor_cache["tile_n"] == 1250  # largest divisor of 2500 <= 2048
     from tpuspmm.ops import oracle
 
     ref = oracle.spmm_oracle(a, b)

@@ -23,6 +23,11 @@ from jax.experimental import sparse as jsparse
 
 _bcsr_warned = False
 
+# combined B+C bytes above which spmm_vendor routes straight to the
+# width-tiled serve (attempting the whole-width program at that scale
+# OOMs the device and poisons the client — round 5, large_20000)
+TILED_ROUTE_BYTES = 2 * 1024 ** 3
+
 
 @jax.jit
 def _bcoo_spmm(a_bcoo, b):
@@ -151,7 +156,7 @@ def spmm_vendor(a, b):
         # large_21074/15120 at ~1.0-1.2 GiB serve whole-width fine).
         m, k = a.shape
         n = int(b.shape[1])
-        if (m + k) * n * 4 > 2 * 1024 ** 3 and n > 2048:
+        if (m + k) * n * 4 > TILED_ROUTE_BYTES and n > 2048:
             # prefer a tile that divides N: the tiled serve then slices
             # B in place with NO padded copy (1.6 GB saved at the
             # large_20000 scale, where free HBM on the shared chip is
